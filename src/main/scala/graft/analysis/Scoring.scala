@@ -1,0 +1,172 @@
+package graft.analysis
+
+import java.util.regex.Pattern
+import scala.collection.mutable
+
+/** Query-time scalar bonus functions, reference-exact.
+  *
+  * Reference semantics: scoring.py:11-257 (proximity, ngram, pattern,
+  * metadata, gibberish, fuzzy) applied additively (gibberish multiplicative)
+  * in main.py:140-167.
+  */
+object Scoring {
+  import Analyzer.lower
+
+  /** scoring.py:11-54 proximity_bonus. */
+  def proximityBonus(text: String, queryTokens: Seq[String], windowSize: Int = 30): Double = {
+    if (queryTokens.length < 2) return 0.0
+    val textTokens = Analyzer.pySplit(lower(text))
+    if (textTokens.length < 2) return 0.0
+    val qset = queryTokens.map(lower).toSet
+    // positions keyed by token, insertion-ordered like a Python dict
+    val positions = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Int]]
+    var i = 0
+    while (i < textTokens.length) {
+      val tok = textTokens(i)
+      if (qset.contains(tok))
+        positions.getOrElseUpdate(tok, mutable.ArrayBuffer.empty[Int]) += i
+      i += 1
+    }
+    if (positions.size < 2) return 0.0
+    var maxScore = 0.0
+    val tokenList = positions.keys.toIndexedSeq
+    for {
+      a <- tokenList.indices
+      bIdx <- (a + 1) until tokenList.length
+      pos1 <- positions(tokenList(a))
+      pos2 <- positions(tokenList(bIdx))
+    } {
+      val distance = math.abs(pos1 - pos2)
+      if (distance <= windowSize) {
+        val score = math.max(0.0, 1.0 - distance.toDouble / windowSize)
+        if (score > maxScore) maxScore = score
+      }
+    }
+    maxScore
+  }
+
+  /** scoring.py:57-76 ngram_bonus. */
+  def ngramBonus(text: String, query: String, maxHits: Int = 6): Double = {
+    val t = Analyzer.pySplit(lower(text)).mkString(" ")
+    val toks = Analyzer.tokenize(query)
+    val bigrams = (0 until math.max(0, toks.length - 1)).map(i => toks.slice(i, i + 2).mkString(" "))
+    val trigrams = (0 until math.max(0, toks.length - 2)).map(i => toks.slice(i, i + 3).mkString(" "))
+    var hits = 0
+    val it = (bigrams ++ trigrams).iterator
+    while (it.hasNext && hits < maxHits) {
+      val ng = it.next()
+      if (ng.length >= 5 && t.contains(ng)) hits += 1
+    }
+    math.min(hits, maxHits).toDouble / maxHits
+  }
+
+  /** scoring.py:79-84 pattern_bonus. */
+  def patternBonus(text: String): Double = {
+    val tl = lower(text)
+    Analyzer.AnswerPatterns.count(tl.contains) * 0.05
+  }
+
+  /** scoring.py:87-116 metadata_bonus. */
+  def metadataBonus(text: String, docTitle: Option[String] = None): Double = {
+    var bonus = 0.0
+    val tl = lower(text).trim
+    if (tl.startsWith("abstract") || tl.take(50).contains("abstract")) bonus += 0.15
+    val head60 = tl.take(60)
+    if (Seq("result", "conclusion", "summary", "discussion").exists(head60.contains))
+      bonus += 0.1
+    docTitle.foreach { title =>
+      val titleLower = lower(title).trim
+      if (titleLower.nonEmpty && tl.contains(titleLower)) {
+        bonus += (if (tl.length < titleLower.length + 20) 0.2 else 0.05)
+      }
+    }
+    bonus
+  }
+
+  private val LineNumbers = Pattern.compile("\\b\\d{3,5}\\b", Pattern.UNICODE_CHARACTER_CLASS)
+  private val DoiGib = Pattern.compile("doi:\\S+|10\\.\\d{4,}/\\S+", Pattern.UNICODE_CHARACTER_CLASS)
+  private val Mixed = Pattern.compile("\\b\\d+[a-zA-Z]+\\d*\\b|\\b[a-zA-Z]+\\d+[a-zA-Z]*\\b",
+    Pattern.UNICODE_CHARACTER_CLASS)
+  private val PunctClusters = Pattern.compile("(?U)[^\\w\\s]{2,}")
+  private val YearLike = Pattern.compile("^[12]\\d{3}$")
+  private val ValidShort = Set("p", "pp", "ch", "vol", "no", "ed", "v", "n")
+
+  private def findAll(p: Pattern, text: String): Seq[String] = {
+    val m = p.matcher(text)
+    val out = mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  /** scoring.py:119-194 gibberish_penalty — multiplicative in (0,1]. */
+  def gibberishPenalty(text: String, threshold: Double = 0.20): Double = {
+    if (text == null || text.length < 20) return 1.0
+    var gibberishChars = 0L
+    val totalChars = text.length
+    gibberishChars += findAll(LineNumbers, text).map(_.length).sum
+    gibberishChars += findAll(DoiGib, text).map(_.length).sum
+    for (pattern <- findAll(Mixed, text)) {
+      val skipShortValid = pattern.length <= 3 && !ValidShort.contains(lower(pattern))
+      // reference logic: `continue` when (len<=3 AND not in valid set);
+      // note this *counts* short patterns that ARE in the valid set.
+      if (!skipShortValid && !YearLike.matcher(pattern).matches()) {
+        gibberishChars += pattern.length
+      }
+    }
+    gibberishChars += findAll(PunctClusters, text).map(_.length).sum
+    for (word <- Analyzer.pySplit(text)) {
+      if (word.length > 2) {
+        val digits = word.count(_.isDigit)
+        if (digits.toDouble / word.length > 0.5) gibberishChars += word.length
+      }
+    }
+    val ratio = if (totalChars > 0) gibberishChars.toDouble / totalChars else 0.0
+    if (ratio <= threshold) return 1.0
+    val penaltyRange = 0.50 - threshold
+    val excess = math.min(ratio - threshold, penaltyRange)
+    math.max(0.0, 1.0 - excess / penaltyRange)
+  }
+
+  /** scoring.py:197-257 fuzzy_match_bonus — difflib port for exactness. */
+  def fuzzyMatchBonus(text: String, query: String, minLength: Int = 20): Double = {
+    if (text == null || text.isEmpty || query == null || query.length < minLength) return 0.0
+    val tn = Analyzer.pySplit(lower(text)).mkString(" ")
+    val qn = Analyzer.pySplit(lower(query)).mkString(" ")
+    val matcher = new SequenceMatcher(tn, qn)
+    val m = matcher.findLongestMatch(0, tn.length, 0, qn.length)
+    if (m.size < minLength) return 0.0
+    val textMatch = tn.substring(m.a, m.a + m.size)
+    val queryMatch = qn.substring(m.b, m.b + m.size)
+    val similarity = new SequenceMatcher(textMatch, queryMatch).ratio
+    val lengthScore = math.min(0.5, m.size / 100.0)
+    val similarityScore =
+      if (similarity >= 0.95) 0.5
+      else if (similarity >= 0.85) 0.3 + (similarity - 0.85) * 2.0
+      else if (similarity >= 0.75) 0.1 + (similarity - 0.75) * 2.0
+      else similarity * 0.1
+    math.min(1.0, lengthScore + similarityScore)
+  }
+
+  /** main.py:140-167 — combined bonus application to a base BM25 score. */
+  def applyBonuses(base: Double, text: String, query: String, qTokens: Seq[String],
+                   docTitle: Option[String],
+                   proxWindow: Int = 24, proxLambda: Double = 0.2,
+                   ngramLambda: Double = 0.1): Double = {
+    var s = base
+    if (proxLambda > 0 && proxWindow > 0) {
+      val pb = proximityBonus(text, qTokens, proxWindow)
+      if (pb != 0.0) s += proxLambda * pb
+    }
+    if (ngramLambda > 0) {
+      val nb = ngramBonus(text, query)
+      if (nb != 0.0) s += ngramLambda * nb
+    }
+    s += patternBonus(text)
+    s += metadataBonus(text, docTitle)
+    val gib = gibberishPenalty(text, 0.20)
+    if (gib < 1.0) s *= gib
+    val fuzzy = fuzzyMatchBonus(text, query, 20)
+    if (fuzzy > 0) s += 2.0 * fuzzy
+    s
+  }
+}
