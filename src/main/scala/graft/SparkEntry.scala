@@ -1,13 +1,399 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.spark.Sql
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 plus the training-data-pipeline operators; `oracleSql`
+  * carries the DuckDB-equivalent SQL for every SQL-expressible entry.
+  *
+  * Column names and row ordering are deterministic and identical on both
+  * sides; float outputs are rounded to absorb summation-order ULP noise.
+  */
 object SparkEntry {
+
+  private val K1 = 1.4
+  private val B = 0.75
+  // fixed reference query for the BM25-family checks (terms chosen from the
+  // synthetic documents vocabulary, none in the stop list)
+  private val QTerms = Seq("spark", "hash", "join", "scan")
+  private def qValuesSql = QTerms.map(t => s"('$t')").mkString(", ")
+
+  private def views(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach { n =>
+      spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+    }
+
+  /** Shared BM25 CTE chain (Spark dialect). */
+  private def bm25CtesSpark: String = s"""
+    toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
+    lens AS (SELECT doc_id, size(tk) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM lens),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, explode(tk) AS term FROM toks) GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    rawidf AS (SELECT term, df, ln((SELECT n FROM stats) - df + 0.5) - ln(df + 0.5) AS idf FROM df),
+    eps AS (SELECT 0.25 * avg(idf) AS eps FROM rawidf),
+    idf AS (SELECT term, df, CASE WHEN idf < 0 THEN (SELECT eps FROM eps) ELSE idf END AS idf FROM rawidf)"""
+
+  /** Shared BM25 CTE chain (DuckDB dialect). */
+  private def bm25CtesDuck: String = s"""
+    toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents),
+    lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM lens),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    rawidf AS (SELECT term, df, ln((SELECT n FROM stats) - df + 0.5) - ln(df + 0.5) AS idf FROM df),
+    eps AS (SELECT 0.25 * avg(idf) AS eps FROM rawidf),
+    idf AS (SELECT term, df, CASE WHEN idf < 0 THEN (SELECT eps FROM eps) ELSE idf END AS idf FROM rawidf)"""
+
+  private def bm25ScoreSql(dialect: String): String = {
+    val ctes = if (dialect == "spark") bm25CtesSpark else bm25CtesDuck
+    s"""WITH $ctes,
+    q(term) AS (VALUES $qValuesSql),
+    scores AS (
+      SELECT tf.doc_id,
+             sum(idf.idf * tf.tf * ($K1 + 1) /
+                 (tf.tf + $K1 * (1 - $B + $B * lens.dl / (SELECT avgdl FROM stats)))) AS score
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN idf ON idf.term = q.term
+      JOIN lens ON lens.doc_id = tf.doc_id
+      GROUP BY tf.doc_id)"""
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_bm25_topk")(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------------
+  // Query catalog
+  // -------------------------------------------------------------------
+
+  private def sqlQuery(tables: Seq[String], sparkSql: String)
+                      (spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, tables: _*)
+    spark.sql(sparkSql)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- analyzer / aggregation family (SURVEY §2.2, §2.3) ---
+    "q_doc_token_stats" -> sqlQuery(Seq("documents"),
+      s"""SELECT doc_id, size(${Sql.tokensSpark("text")}) AS n_tokens,
+                 size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS n_raw_tokens
+          FROM documents ORDER BY doc_id""") _,
+
+    "q_term_df" -> sqlQuery(Seq("documents"),
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents)
+          SELECT term, count(*) AS df FROM
+            (SELECT DISTINCT doc_id, explode(tk) AS term FROM toks)
+          GROUP BY term ORDER BY df DESC, term LIMIT 100""") _,
+
+    "q_corpus_stats" -> sqlQuery(Seq("documents"),
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
+          lens AS (SELECT doc_id, size(tk) AS dl FROM toks)
+          SELECT count(*) AS n_docs, round(CAST(sum(dl) AS DOUBLE)/count(*), 4) AS avgdl,
+                 (SELECT count(*) FROM (SELECT DISTINCT explode(tk) FROM toks)) AS vocab
+          FROM lens""") _,
+
+    "q_term_idf" -> sqlQuery(Seq("documents"),
+      s"""WITH $bm25CtesSpark
+          SELECT term, df, round(idf, 4) AS idf FROM idf
+          ORDER BY df DESC, term LIMIT 300""") _,
+
+    "q_bm25_topk" -> sqlQuery(Seq("documents"),
+      s"""${bm25ScoreSql("spark")}
+          SELECT doc_id, round(score, 4) AS score FROM scores
+          ORDER BY score DESC, doc_id LIMIT 20""") _,
+
+    "q_rm3_terms" -> sqlQuery(Seq("documents"),
+      s"""${bm25ScoreSql("spark")},
+          top_docs AS (SELECT doc_id FROM scores
+                       ORDER BY round(score, 4) DESC, doc_id LIMIT 6),
+          fb AS (SELECT term, count(*) AS cnt
+                 FROM (SELECT explode(tk) AS term FROM toks
+                       WHERE doc_id IN (SELECT doc_id FROM top_docs))
+                 WHERE length(term) >= 3 AND term NOT IN (${QTerms.map(t => s"'$t'").mkString(",")})
+                 GROUP BY term)
+          SELECT term, cnt FROM fb ORDER BY cnt DESC, term LIMIT 10""") _,
+
+    // --- dedup family (training-data ops) ---
+    "q_dedup_exact" -> sqlQuery(Seq("documents"),
+      s"""WITH h AS (SELECT doc_id, md5(${Sql.dedupNormSpark("text")}) AS hash
+                     FROM documents WHERE ${Sql.dedupNormSpark("text")} <> '')
+          SELECT hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+          FROM h GROUP BY hash ORDER BY keep_doc_id""") _,
+
+    "q_minhash_sigs" -> sqlQuery(Seq("documents"),
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
+          sh AS (SELECT doc_id, ${Sql.shinglesSpark("tk")} AS sh FROM toks)
+          SELECT doc_id,
+            coalesce(array_min(transform(sh, s -> md5(concat('0:', s)))), '') AS sig0,
+            coalesce(array_min(transform(sh, s -> md5(concat('1:', s)))), '') AS sig1,
+            coalesce(array_min(transform(sh, s -> md5(concat('2:', s)))), '') AS sig2,
+            coalesce(array_min(transform(sh, s -> md5(concat('3:', s)))), '') AS sig3
+          FROM sh ORDER BY doc_id""") _,
+
+    "q_lsh_pairs" -> sqlQuery(Seq("documents"),
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
+          sh AS (SELECT doc_id, ${Sql.shinglesSpark("tk")} AS sh FROM toks WHERE size(tk) >= 3),
+          sig AS (SELECT doc_id,
+            md5(concat(array_min(transform(sh, s -> md5(concat('0:', s)))),
+                       array_min(transform(sh, s -> md5(concat('1:', s)))))) AS b0,
+            md5(concat(array_min(transform(sh, s -> md5(concat('2:', s)))),
+                       array_min(transform(sh, s -> md5(concat('3:', s)))))) AS b1
+            FROM sh WHERE size(sh) > 0)
+          SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+          FROM sig a JOIN sig b ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+          ORDER BY x, y""") _,
+
+    "q_jaccard_pairs" -> sqlQuery(Seq("documents"),
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, shingle
+                 FROM (SELECT doc_id, explode(${Sql.shinglesSpark("tk")}) AS shingle FROM toks)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY a.doc_id, b.doc_id)
+          SELECT x, y, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+          FROM inter JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+          ORDER BY x, y""") _,
+
+    // --- text analytics (training-data ops) ---
+    "q_quality_scores" -> sqlQuery(Seq("documents"),
+      s"""SELECT doc_id, length(text) AS n_chars,
+            round(CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE)
+                  / length(text), 4) AS digit_ratio,
+            round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS DOUBLE)
+                  / length(text), 4) AS punct_ratio,
+            size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS n_raw_tokens,
+            size(${Sql.tokensSpark("text")}) AS n_content_tokens
+          FROM documents WHERE length(text) > 0 ORDER BY doc_id""") _,
+
+    "q_langid" -> sqlQuery(Seq("documents"),
+      s"""WITH raw AS (SELECT doc_id, lang,
+            transform(regexp_extract_all(text, '[A-Za-z]+', 0), t -> lower(t)) AS w
+            FROM documents),
+          hits AS (SELECT doc_id, lang,
+            size(filter(w, t -> t IN ('the','and','of','to','in'))) AS en_hits,
+            size(filter(w, t -> t IN ('el','la','de','que','y'))) AS es_hits,
+            size(filter(w, t -> t IN ('der','die','und','das','ist'))) AS de_hits,
+            size(filter(w, t -> t IN ('le','et','les','des','un'))) AS fr_hits
+            FROM raw)
+          SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+            CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                 WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                 WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS predicted
+          FROM hits ORDER BY doc_id""") _,
+
+    "q_fingerprint" -> sqlQuery(Seq("documents"),
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents)
+          SELECT doc_id, md5(concat_ws(' ', slice(tk, 1, 16))) AS fp
+          FROM toks ORDER BY doc_id""") _,
+
+    "q_lang_dist" -> sqlQuery(Seq("documents"),
+      s"""SELECT lang, count(*) AS n_docs,
+                 round(CAST(sum(n_chars) AS DOUBLE)/count(*), 4) AS avg_chars
+          FROM documents GROUP BY lang ORDER BY lang""") _,
+
+    "q_source_enrich_join" -> sqlQuery(Seq("documents"),
+      s"""WITH s AS (SELECT source, CAST(sum(n_chars) AS DOUBLE)/count(*) AS src_avg_chars,
+                            count(*) AS src_docs
+                     FROM documents GROUP BY source)
+          SELECT d.doc_id, d.source, s.src_docs, round(s.src_avg_chars, 4) AS src_avg_chars
+          FROM documents d JOIN s ON d.source = s.source ORDER BY d.doc_id""") _,
+
+    // --- events: time windows + sessionization (streaming analog, batch) ---
+    "q_events_hourly" -> sqlQuery(Seq("events"),
+      s"""SELECT event_type, date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm') AS hr,
+                 count(*) AS n, round(sum(value), 4) AS sum_value
+          FROM events GROUP BY event_type, date_trunc('hour', ts)
+          ORDER BY event_type, hr""") _,
+
+    "q_events_sessionize" -> sqlQuery(Seq("events"),
+      s"""WITH e AS (SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+          m AS (SELECT user_id,
+                 CASE WHEN prev IS NULL OR unix_timestamp(ts) - unix_timestamp(prev) > 1800
+                      THEN 1 ELSE 0 END AS new_s FROM e)
+          SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+          FROM m GROUP BY user_id ORDER BY user_id""") _,
+
+    // --- embeddings: similarity search (training-data ops) ---
+    "q_embed_topk" -> sqlQuery(Seq("embeddings"),
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          dots AS (SELECT e.vec_id,
+            aggregate(zip_with(e.embedding, q.qe,
+                               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                      0D, (acc, v) -> acc + v) AS dot,
+            sqrt(aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      0D, (acc, v) -> acc + v)) AS nrm,
+            sqrt(aggregate(transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      0D, (acc, v) -> acc + v)) AS qn
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+          SELECT vec_id, round(dot / (nrm * qn), 4) AS cos
+          FROM dots ORDER BY cos DESC, vec_id LIMIT 10""") _
+  )
+
+  // -------------------------------------------------------------------
+  // DuckDB oracle SQL (same semantics, DuckDB dialect)
+  // -------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_doc_token_stats" ->
+      s"""SELECT doc_id, len(${Sql.tokensDuck("text")}) AS n_tokens,
+            len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_raw_tokens
+          FROM documents ORDER BY doc_id""",
+
+    "q_term_df" ->
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents)
+          SELECT term, count(*) AS df FROM
+            (SELECT DISTINCT doc_id, unnest(tk) AS term FROM toks)
+          GROUP BY term ORDER BY df DESC, term LIMIT 100""",
+
+    "q_corpus_stats" ->
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents),
+          lens AS (SELECT doc_id, len(tk) AS dl FROM toks)
+          SELECT count(*) AS n_docs, round(CAST(sum(dl) AS DOUBLE)/count(*), 4) AS avgdl,
+                 (SELECT count(DISTINCT term) FROM (SELECT unnest(tk) AS term FROM toks)) AS vocab
+          FROM lens""",
+
+    "q_term_idf" ->
+      s"""WITH $bm25CtesDuck
+          SELECT term, df, round(idf, 4) AS idf FROM idf
+          ORDER BY df DESC, term LIMIT 300""",
+
+    "q_bm25_topk" ->
+      s"""${bm25ScoreSql("duck")}
+          SELECT doc_id, round(score, 4) AS score FROM scores
+          ORDER BY score DESC, doc_id LIMIT 20""",
+
+    "q_rm3_terms" ->
+      s"""${bm25ScoreSql("duck")},
+          top_docs AS (SELECT doc_id FROM scores
+                       ORDER BY round(score, 4) DESC, doc_id LIMIT 6),
+          fb AS (SELECT term, count(*) AS cnt
+                 FROM (SELECT unnest(tk) AS term FROM toks
+                       WHERE doc_id IN (SELECT doc_id FROM top_docs))
+                 WHERE length(term) >= 3 AND term NOT IN (${QTerms.map(t => s"'$t'").mkString(",")})
+                 GROUP BY term)
+          SELECT term, cnt FROM fb ORDER BY cnt DESC, term LIMIT 10""",
+
+    "q_dedup_exact" ->
+      s"""WITH h AS (SELECT doc_id, md5(${Sql.dedupNormDuck("text")}) AS hash
+                     FROM documents WHERE ${Sql.dedupNormDuck("text")} <> '')
+          SELECT hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+          FROM h GROUP BY hash ORDER BY keep_doc_id""",
+
+    "q_minhash_sigs" ->
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents),
+          sh AS (SELECT doc_id, ${Sql.shinglesDuck("tk")} AS sh FROM toks)
+          SELECT doc_id,
+            coalesce(list_min(list_transform(sh, s -> md5('0:' || s))), '') AS sig0,
+            coalesce(list_min(list_transform(sh, s -> md5('1:' || s))), '') AS sig1,
+            coalesce(list_min(list_transform(sh, s -> md5('2:' || s))), '') AS sig2,
+            coalesce(list_min(list_transform(sh, s -> md5('3:' || s))), '') AS sig3
+          FROM sh ORDER BY doc_id""",
+
+    "q_lsh_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents),
+          sh AS (SELECT doc_id, ${Sql.shinglesDuck("tk")} AS sh FROM toks WHERE len(tk) >= 3),
+          sig AS (SELECT doc_id,
+            md5(concat(list_min(list_transform(sh, s -> md5('0:' || s))),
+                       list_min(list_transform(sh, s -> md5('1:' || s))))) AS b0,
+            md5(concat(list_min(list_transform(sh, s -> md5('2:' || s))),
+                       list_min(list_transform(sh, s -> md5('3:' || s))))) AS b1
+            FROM sh WHERE len(sh) > 0)
+          SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+          FROM sig a JOIN sig b ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+          ORDER BY x, y""",
+
+    "q_jaccard_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, shingle
+                 FROM (SELECT doc_id, unnest(${Sql.shinglesDuck("tk")}) AS shingle FROM toks)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY a.doc_id, b.doc_id)
+          SELECT x, y, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+          FROM inter JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+          ORDER BY x, y""",
+
+    "q_quality_scores" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+            round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                  / length(text), 4) AS digit_ratio,
+            round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                  / length(text), 4) AS punct_ratio,
+            len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_raw_tokens,
+            len(${Sql.tokensDuck("text")}) AS n_content_tokens
+          FROM documents WHERE length(text) > 0 ORDER BY doc_id""",
+
+    "q_langid" ->
+      s"""WITH raw AS (SELECT doc_id, lang,
+            list_transform(regexp_extract_all(text, '[A-Za-z]+'), t -> lower(t)) AS w
+            FROM documents),
+          hits AS (SELECT doc_id, lang,
+            len(list_filter(w, t -> list_contains(['the','and','of','to','in'], t))) AS en_hits,
+            len(list_filter(w, t -> list_contains(['el','la','de','que','y'], t))) AS es_hits,
+            len(list_filter(w, t -> list_contains(['der','die','und','das','ist'], t))) AS de_hits,
+            len(list_filter(w, t -> list_contains(['le','et','les','des','un'], t))) AS fr_hits
+            FROM raw)
+          SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+            CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                 WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                 WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS predicted
+          FROM hits ORDER BY doc_id""",
+
+    "q_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents)
+          SELECT doc_id, md5(array_to_string(list_slice(tk, 1, 16), ' ')) AS fp
+          FROM toks ORDER BY doc_id""",
+
+    "q_lang_dist" ->
+      s"""SELECT lang, count(*) AS n_docs,
+                 round(CAST(sum(n_chars) AS DOUBLE)/count(*), 4) AS avg_chars
+          FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_source_enrich_join" ->
+      s"""WITH s AS (SELECT source, CAST(sum(n_chars) AS DOUBLE)/count(*) AS src_avg_chars,
+                            count(*) AS src_docs
+                     FROM documents GROUP BY source)
+          SELECT d.doc_id, d.source, s.src_docs, round(s.src_avg_chars, 4) AS src_avg_chars
+          FROM documents d JOIN s ON d.source = s.source ORDER BY d.doc_id""",
+
+    "q_events_hourly" ->
+      s"""SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
+                 count(*) AS n, round(sum(value), 4) AS sum_value
+          FROM events GROUP BY event_type, date_trunc('hour', ts)
+          ORDER BY event_type, hr""",
+
+    "q_events_sessionize" ->
+      s"""WITH e AS (SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+          m AS (SELECT user_id,
+                 CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                      THEN 1 ELSE 0 END AS new_s FROM e)
+          SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+          FROM m GROUP BY user_id ORDER BY user_id""",
+
+    "q_embed_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          dots AS (SELECT e.vec_id,
+            list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS dot,
+            sqrt(list_sum(list_transform(e.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+            sqrt(list_sum(list_transform(q.qe,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+          SELECT vec_id, round(dot / (nrm * qn), 4) AS cos
+          FROM dots ORDER BY cos DESC, vec_id LIMIT 10"""
+  )
 }
