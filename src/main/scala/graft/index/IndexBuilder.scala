@@ -1,0 +1,207 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+import graft.analysis.Analyzer
+import graft.corpus.ChunkRow
+import graft.query.Bm25
+
+/** One posting: a (term, doc) observation with the doc's length denormalized
+  * in (impact-ready; avoids a docLen join at query time).
+  */
+case class Posting(term: String, chunkId: Long, tf: Int, dl: Int)
+
+/** Compressed posting-list block row (see Codec). `shard` partitions each
+  * term's postings by doc hash so no single reducer ever owns a full
+  * head-term list — the unit of WAND parallelism at cluster scale.
+  */
+case class BlockRow(bucket: Int, shard: Int, term: String, blockId: Int, n: Int,
+                    docs: Array[Byte], tfs: Array[Byte], dls: Array[Byte],
+                    maxTfNorm: Double, firstDoc: Long, lastDoc: Long)
+
+case class GlobalStats(nDocs: Long, totalTokens: Long, avgdl: Double,
+                       vocabSize: Long, avgRawIdf: Double, eps: Double,
+                       k1: Double, b: Double, configHash: String, snapshotId: String)
+
+case class BuildConfig(
+    k1: Double = 1.4,
+    b: Double = 0.75,
+    epsilon: Double = 0.25,
+    nTermBuckets: Int = 32,
+    nDocShards: Int = 4,
+    blockSize: Int = Codec.DefaultBlockSize,
+    shufflePartitions: Int = 32) {
+  def configHash: String =
+    Analyzer.md5Hex(s"$k1|$b|$epsilon|$nTermBuckets|$nDocShards|$blockSize")
+}
+
+case class IndexPaths(root: String) {
+  def chunks = s"$root/chunks"
+  def postings = s"$root/postings"
+  def blocks = s"$root/blocks"
+  def termStats = s"$root/term_stats"
+  def globalStats = s"$root/global_stats"
+  def metrics = s"$root/metrics"
+  def checkpoints = s"$root/checkpoints.json"
+  def manifest = s"$root/manifest.json"
+}
+
+case class PartitionMetric(phase: String, partitionId: Int, rows: Long,
+                           bytes: Long, wallMs: Long)
+
+/** Distributed inverted-index build (SURVEY §2.3 / north rule).
+  *
+  * Shuffle design, stated explicitly for the 1000-executor case:
+  *  - tf computation is task-local (per-chunk hash map in `mapPartitions`),
+  *    so the only wide exchange before stats is the (term-bucket, doc-shard)
+  *    repartition for block assembly;
+  *  - `bucket = hash(term) % nTermBuckets` is the physical partition column
+  *    of both `postings` and `term_stats` → query-term lookups prune
+  *    partitions at the parquet source;
+  *  - `shard = hash(chunkId) % nDocShards` salts head terms: a term with a
+  *    10^11-row posting list lands on nDocShards reducers, never one;
+  *  - df/avgdl aggregations rely on map-side partial aggregation (no skew:
+  *    per-(term) partials shrink to one row each).
+  */
+object IndexBuilder {
+
+  /** Stable 64-bit id from the md5 of a key (portable, seedless). */
+  def stableId(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** Must agree with the SQL `pmod(xxhash64(term), n)` used when writing the
+    * bucket partition column (seed 42, Spark's default for xxhash64).
+    */
+  def termBucket(term: String, n: Int): Int =
+    math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType, 42L),
+      n.toLong).toInt
+
+  /** Chunk rows -> flat postings with doc lengths (no shuffle; narrow). */
+  def postings(chunks: Dataset[ChunkRow]): Dataset[Posting] = {
+    import chunks.sparkSession.implicits._
+    chunks.mapPartitions { it =>
+      it.flatMap { c =>
+        val toks = Analyzer.tokenize(c.text)
+        val tf = Bm25.termFreqs(toks)
+        val dl = toks.length
+        tf.iterator.map { case (t, f) => Posting(t, c.chunkId, f, dl) }
+      }
+    }
+  }
+
+  /** Full build: writes postings, term_stats, global_stats, blocks, metrics
+    * + snapshot manifest; returns the stats.
+    */
+  def build(spark: SparkSession, chunks: Dataset[ChunkRow], out: IndexPaths,
+            cfg: BuildConfig = BuildConfig()): GlobalStats = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+
+    chunks.write.mode(SaveMode.Overwrite).parquet(out.chunks)
+    val chunksDF = spark.read.parquet(out.chunks).as[ChunkRow]
+
+    val nDocs = chunksDF.count()
+    require(nDocs > 0, "empty corpus")
+
+    val post = postings(chunksDF)
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(cfg.nTermBuckets)).cast("int"))
+    post.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.postings)
+    val postDF = spark.read.parquet(out.postings)
+
+    // ---- statistics (broadcast source) ----
+    val totalTokens = postDF.agg(sum("tf")).as[Long].head()
+    val avgdl = totalTokens.toDouble / nDocs
+
+    val dfTable = postDF.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
+      .withColumn("raw_idf",
+        log(lit(nDocs.toDouble) - col("df") + 0.5) - log(col("df") + 0.5))
+    dfTable.persist()
+    val vocabRow = dfTable.agg(count(lit(1)), avg("raw_idf")).head()
+    val vocabSize = vocabRow.getLong(0)
+    val avgRawIdf = vocabRow.getDouble(1)
+    val eps = cfg.epsilon * avgRawIdf
+    dfTable
+      .withColumn("idf", when(col("raw_idf") < 0, lit(eps)).otherwise(col("raw_idf")))
+      .select("term", "df", "idf", "bucket")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.termStats)
+    dfTable.unpersist()
+
+    // ---- compressed block build (salted repartition) ----
+    val metricsAcc: CollectionAccumulator[PartitionMetric] =
+      spark.sparkContext.collectionAccumulator[PartitionMetric]("block-build")
+    val k1 = cfg.k1; val b = cfg.b; val blockSize = cfg.blockSize
+    val nShards = cfg.nDocShards
+    val withShard = postDF
+      .withColumn("shard", pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int"))
+      .repartition(cfg.shufflePartitions, col("bucket"), col("shard"))
+      .sortWithinPartitions("bucket", "shard", "term", "chunkId")
+      .select("bucket", "shard", "term", "chunkId", "tf", "dl")
+      .as[(Int, Int, String, Long, Int, Int)]
+
+    val blocks = withShard.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val start = System.nanoTime()
+      val out = scala.collection.mutable.ArrayBuffer.empty[BlockRow]
+      var curKey: (Int, Int, String) = null
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val tfs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val dls = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val norms = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var nRows = 0L
+      var nBytes = 0L
+      def flush(): Unit = if (curKey != null && ids.nonEmpty) {
+        val bs = Codec.buildBlocks(ids.toArray, tfs.toArray, dls.toArray,
+          norms.toArray, blockSize)
+        bs.zipWithIndex.foreach { case (blk, i) =>
+          nBytes += blk.docs.length + blk.tfs.length + blk.dls.length
+          out += BlockRow(curKey._1, curKey._2, curKey._3, i, blk.n, blk.docs,
+            blk.tfs, blk.dls, blk.maxTfNorm, blk.firstDoc, blk.lastDoc)
+        }
+        ids.clear(); tfs.clear(); dls.clear(); norms.clear()
+      }
+      rows.foreach { case (bucket, shard, term, chunkId, tf, dl) =>
+        val key = (bucket, shard, term)
+        if (key != curKey) { flush(); curKey = key }
+        ids += chunkId
+        tfs += tf.toLong
+        dls += dl.toLong
+        norms += tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        nRows += 1
+      }
+      flush()
+      metricsAcc.add(PartitionMetric("blocks", pid, nRows, nBytes,
+        (System.nanoTime() - start) / 1000000))
+      out.iterator
+    }
+    blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.blocks)
+
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val metrics = metricsAcc.value
+    import scala.jdk.CollectionConverters._
+    spark.createDataset(metrics.asScala.toSeq)
+      .withColumn("docs_per_sec", lit(nDocs.toDouble * 1000 / math.max(1, wallMs)))
+      .write.mode(SaveMode.Overwrite).parquet(out.metrics)
+
+    val snapshotId = Analyzer.md5Hex(s"$nDocs|$totalTokens|${cfg.configHash}")
+    val stats = GlobalStats(nDocs, totalTokens, avgdl, vocabSize, avgRawIdf, eps,
+      cfg.k1, cfg.b, cfg.configHash, snapshotId)
+    Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(out.globalStats)
+    TableIO.writeManifest(out.manifest, Map(
+      "snapshot_id" -> snapshotId, "n_docs" -> nDocs.toString,
+      "total_tokens" -> totalTokens.toString, "config_hash" -> cfg.configHash,
+      "build_wall_ms" -> wallMs.toString,
+      "docs_per_sec" -> f"${nDocs.toDouble * 1000 / math.max(1, wallMs)}%.1f"))
+    stats
+  }
+
+  def loadStats(spark: SparkSession, out: IndexPaths): GlobalStats = {
+    import spark.implicits._
+    spark.read.parquet(out.globalStats).as[GlobalStats].head()
+  }
+}

@@ -1,0 +1,128 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analysis.{Analyzer, Scoring}
+import graft.corpus.ChunkRow
+import graft.index.{GlobalStats, IndexBuilder, IndexPaths}
+
+/** Distributed SearchBackend over the persisted index tables.
+  *
+  * Physical plan (SURVEY §3.4 Job 3):
+  *  1. query terms -> tiny (term,pos,idf) frame, **broadcast** to the
+  *     postings join; postings scan is pruned to the term-hash `bucket`
+  *     partitions of the query terms (partition pruning) with the term
+  *     equality pushed to parquet;
+  *  2. per-chunk BM25 = contributions folded in query-token order
+  *     (float-exact vs the sequential reference);
+  *  3. bonuses applied to ALL chunks (reference semantics, main.py:140-167)
+  *     in a narrow map, then distributed top-k via orderBy().limit() —
+  *     Catalyst plans TakeOrderedAndProject, no global sort;
+  *  4. everything after the <=poolSize pool runs driver-side (Pipeline).
+  */
+final class SparkBackend(spark: SparkSession, paths: IndexPaths,
+                         nTermBuckets: Int = 32) extends SearchBackend {
+  import spark.implicits._
+
+  val stats: GlobalStats = IndexBuilder.loadStats(spark, paths)
+  private val chunksDS = spark.read.parquet(paths.chunks).as[ChunkRow]
+  private val postingsDF = spark.read.parquet(paths.postings)
+  private val termStatsDF = spark.read.parquet(paths.termStats)
+  private val idfCache = scala.collection.mutable.HashMap.empty[String, Double]
+
+  /** idf lookup for query terms — bucket-pruned scan of term_stats. */
+  def idfFor(terms: Seq[String]): Map[String, Double] = {
+    val missing = terms.distinct.filterNot(idfCache.contains)
+    if (missing.nonEmpty) {
+      val buckets = missing.map(IndexBuilder.termBucket(_, nTermBuckets)).distinct
+      val found = termStatsDF
+        .filter(col("bucket").isin(buckets: _*) && col("term").isin(missing: _*))
+        .select("term", "idf").as[(String, Double)].collect().toMap
+      missing.foreach(t => idfCache(t) = found.getOrElse(t, 0.0))
+    }
+    terms.map(t => t -> idfCache(t)).toMap
+  }
+
+  def bm25Stats: Bm25Stats =
+    Bm25Stats(stats.nDocs, stats.avgdl, idfCache.toMap, stats.k1, stats.b)
+
+  /** Sparse per-chunk BM25 scores as a DataFrame(chunkId, score). */
+  def scoresDF(queryTokens: Seq[String]): DataFrame = {
+    val idf = idfFor(queryTokens)
+    val qRows = queryTokens.zipWithIndex
+      .map { case (t, pos) => (t, pos, idf(t)) }
+      .filter(_._3 != 0.0)
+    if (qRows.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF("chunkId", "score")
+    val buckets = qRows.map(r => IndexBuilder.termBucket(r._1, nTermBuckets)).distinct
+    val q = qRows.toDF("term", "pos", "idf")
+    val k1 = stats.k1; val b = stats.b; val avgdl = stats.avgdl
+    postingsDF
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(qRows.map(_._1).distinct: _*))
+      .join(broadcast(q), "term")
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("chunkId")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("pos"), col("contrib")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("score"))
+  }
+
+  /** Dense bonused scores + distributed top-pool. */
+  override def topPool(query: String, bm25Query: String, poolSize: Int,
+                       cfg: PipelineConfig): IndexedSeq[(ChunkRow, Double)] = {
+    val qTokens = Analyzer.tokenize(query).toIndexedSeq
+    val bmTokens =
+      if (bm25Query == query) qTokens else Analyzer.tokenize(bm25Query).toIndexedSeq
+    val proxWindow = cfg.proxWindow; val proxLambda = cfg.proxLambda
+    val ngramLambda = cfg.ngramLambda
+    val bonusUdf = udf { (base: Double, text: String, title: String) =>
+      Scoring.applyBonuses(base, text, query, qTokens, Option(title),
+        proxWindow, proxLambda, ngramLambda)
+    }
+    val scored = chunksDS.toDF()
+      .join(scoresDF(bmTokens), Seq("chunkId"), "left")
+      .na.fill(0.0, Seq("score"))
+      .withColumn("bscore", bonusUdf(col("score"), col("text"), col("meta.title")))
+      .orderBy(desc("bscore"), asc("source"), asc("page"), asc("chunkIdx"))
+      .limit(poolSize)
+    scored.select(col("chunkId"), col("docId"), col("source"), col("page"),
+        col("chunkIdx"), col("text"), col("meta"), col("bscore"))
+      .as[(Long, Long, String, Int, Int, String, graft.corpus.ChunkMeta, Double)]
+      .collect()
+      .map { case (id, docId, source, page, idx, text, meta, s) =>
+        (ChunkRow(id, docId, source, page, idx, text, meta), s)
+      }.toIndexedSeq
+  }
+
+  /** Driver-side exact re-scoring of pool chunks (pool <= 200). */
+  override def bm25ScoresFor(queryTokens: Seq[String], chunks: Seq[ChunkRow]): Map[Long, Double] = {
+    val st = Bm25Stats(stats.nDocs, stats.avgdl, idfFor(queryTokens), stats.k1, stats.b)
+    chunks.map { c =>
+      val toks = Analyzer.tokenize(c.text)
+      c.chunkId -> st.score(queryTokens, Bm25.termFreqs(toks), toks.length.toLong)
+    }.toMap
+  }
+
+  override def topDocsForRm3(queryTokens: Seq[String], fbDocs: Int): Seq[String] = {
+    val matched = chunksDS.toDF()
+      .join(scoresDF(queryTokens), Seq("chunkId"))
+      .orderBy(desc("score"), asc("source"), asc("page"), asc("chunkIdx"))
+      .limit(fbDocs)
+      .select("text").as[String].collect().toSeq
+    if (matched.length >= fbDocs) matched
+    else {
+      // reference takes zero-score docs in corpus order when fewer than
+      // fbDocs chunks match (prf.py:29 over a dense score array)
+      val fill = chunksDS.toDF()
+        .join(scoresDF(queryTokens), Seq("chunkId"), "left_anti")
+        .orderBy(asc("source"), asc("page"), asc("chunkIdx"))
+        .limit(fbDocs - matched.length)
+        .select("text").as[String].collect().toSeq
+      matched ++ fill
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+import graft.index.{BuildConfig, IndexBuilder, IndexPaths}
+import graft.query.{LocalBackend, Pipeline, PipelineConfig, SparkBackend, Wand}
+
+/** End-to-end parity of the DISTRIBUTED engine (index build + Spark-backed
+  * query pipeline + WAND) against the reference goldens and the in-memory
+  * oracle path.
+  */
+class SparkIndexParitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private lazy val corpus = Goldens.corpus
+  private lazy val paths = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
+    val p = IndexPaths(dir)
+    import spark.implicits._
+    val ds = spark.createDataset(Goldens.chunks)
+    IndexBuilder.build(spark, ds, p,
+      BuildConfig(k1 = corpus.get("k1").asDouble(), b = corpus.get("b").asDouble(),
+        nTermBuckets = 8, nDocShards = 2, shufflePartitions = 8))
+    p
+  }
+  private lazy val backend = new SparkBackend(spark, paths, nTermBuckets = 8)
+  private lazy val local = new LocalBackend(Goldens.chunks,
+    corpus.get("k1").asDouble(), corpus.get("b").asDouble())
+  private lazy val goldens = Goldens.load("pipeline.json").elements().asScala.toList
+
+  test("distributed stats match reference (N, avgdl, idf incl. floor)") {
+    val stats = backend.stats
+    assert(stats.nDocs == corpus.get("n_docs").asLong())
+    assert(math.abs(stats.avgdl - corpus.get("avgdl").asDouble()) < 1e-9)
+    import spark.implicits._
+    val idf = spark.read.parquet(paths.termStats)
+      .select("term", "idf").as[(String, Double)].collect().toMap
+    val goldenIdf = corpus.get("idf")
+    assert(idf.size == goldenIdf.size())
+    goldenIdf.fields().asScala.foreach { e =>
+      assert(math.abs(idf(e.getKey) - e.getValue.asDouble()) < 1e-9, s"idf(${e.getKey})")
+    }
+  }
+
+  test("distributed search pipeline rank- and score-identical to reference") {
+    for (g <- goldens) {
+      val q = g.get("query").asText()
+      val cfg = PipelineConfig(prfEnabled = g.get("prf_enabled").asBoolean())
+      val out = Pipeline.searchTopK(backend, q, cfg)
+      val expectedPool = g.get("pool").elements().asScala.map(_.asLong()).toList
+      assert(out.pool.toList == expectedPool, s"pool mismatch for '$q'")
+      val expected = g.get("results").elements().asScala.toList
+      assert(out.results.length == expected.length, s"result count for '$q'")
+      out.results.zip(expected).zipWithIndex.foreach { case ((got, exp), i) =>
+        assert(got.text == exp.get("text").asText(), s"'$q' result[$i].text")
+        assert(got.citation == exp.get("citation").asText(), s"'$q' result[$i].citation")
+        assert(got.score.contains(exp.get("score").asDouble()), s"'$q' result[$i].score")
+      }
+      assert(out.confidence.score == g.get("confidence").get("score").asDouble(), s"conf '$q'")
+    }
+  }
+
+  test("WAND top-k matches join+agg scoring path") {
+    val queries = Seq("machine learning algorithms", "quick brown fox",
+      "climate ocean temperature", "nobel prize physics quantum theory experiment",
+      "spark shuffle partition")
+    for (q <- queries) {
+      val toks = graft.analysis.Analyzer.tokenize(q).toIndexedSeq
+      val wand = Wand.topK(spark, paths, backend.stats, q, 10, backend.idfFor, nTermBuckets = 8)
+      // reference scoring path: dense local scores, top-10 by (score desc, id asc)
+      val dense = local.denseScores(toks)
+      val expected = dense.zipWithIndex
+        .filter(_._1 != 0.0)
+        .sortBy { case (s, i) => (-s, i.toLong) }
+        .take(10).map { case (s, i) => (i.toLong, s) }.toSeq
+      assert(wand.length == expected.length, s"'$q': ${wand.length} vs ${expected.length}")
+      wand.zip(expected).foreach { case ((gd, gs), (ed, es)) =>
+        assert(gd == ed, s"'$q' doc order: got $gd expected $ed")
+        assert(math.abs(gs - es) < 1e-9, s"'$q' score: $gs vs $es")
+      }
+    }
+  }
+
+  test("postings compression: blocks smaller than raw postings") {
+    import org.apache.spark.sql.functions._
+    val blockBytes = spark.read.parquet(paths.blocks)
+      .agg(sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))))
+      .head().getLong(0)
+    val nPostings = spark.read.parquet(paths.postings).count()
+    // raw postings are (8B id + 4B tf + 4B dl) = 16B
+    assert(blockBytes < nPostings * 16, s"$blockBytes bytes for $nPostings postings")
+  }
+
+  test("metrics and manifest are written") {
+    val metrics = spark.read.parquet(paths.metrics)
+    assert(metrics.count() > 0)
+    val manifest = graft.index.TableIO.readManifest(paths.manifest)
+    assert(manifest.exists(_.contains("snapshot_id")))
+    assert(manifest.exists(_.get("n_docs").contains(Goldens.chunks.length.toString)))
+  }
+}
