@@ -59,6 +59,57 @@ object GraftCli {
         val top = Wand.topK(spark, paths, backend.stats, q, 10, backend.idfFor)
         println(s"[graft] WAND top-${top.length} for '$q':")
         top.foreach { case (doc, s) => println(f"  $s%10.4f  doc=$doc") }
+      case "chunkbench" =>
+        val nPages = if (args.length > 2) args(2).toLong else 20000L
+        val pages = WebPages.generate(spark, nPages, 42,
+          spark.sparkContext.defaultParallelism * 2)
+          .map(p => PageDoc(p.url, 1, p.text, None))
+        // warm-up
+        graft.corpus.ChunkerJob.chunk(pages.limit(500), ChunkerConfig()).count()
+        val t0 = System.nanoTime()
+        val n = graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[graft] chunkbench: $n chunks from $nPages pages in $secs%.1fs " +
+          f"(${nPages / secs}%.0f pages/s)")
+      case "phasebench" =>
+        val nPages = if (args.length > 2) args(2).toLong else 40000L
+        import spark.implicits._
+        def pages = WebPages.generate(spark, nPages, 42,
+          spark.sparkContext.defaultParallelism * 2)
+          .map(p => PageDoc(p.url, 1, p.text, None))
+        def t(label: String)(f: => Long): Unit = {
+          f // warm
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"[graft] $label: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+        t("gen")(pages.count())
+        t("gen+clean")(pages.map(p => graft.analysis.Analyzer.cleanText(p.text).length.toLong)
+          .reduce(_ + _))
+        val noDedup = pages.mapPartitions { it =>
+          it.flatMap { p =>
+            val cleaned = graft.analysis.Analyzer.cleanText(p.text)
+            if (!graft.analysis.Analyzer.isTextQualityGood(cleaned, 0.5)) Iterator.empty
+            else graft.analysis.Analyzer.chunkText(cleaned, "", "sliding", 600, 80).iterator
+          }
+        }
+        t("gen+clean+chunk")(noDedup.count())
+        t("full+dedup")(graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()).count())
+      case "postbench" =>
+        val nPages = if (args.length > 2) args(2).toLong else 20000L
+        val pages = WebPages.generate(spark, nPages, 42,
+          spark.sparkContext.defaultParallelism * 2)
+          .map(p => PageDoc(p.url, 1, p.text, None))
+        val chunks = graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig())
+        chunks.write.mode("overwrite").parquet(s"${paths.root}/chunks")
+        import spark.implicits._
+        val persisted = spark.read.parquet(s"${paths.root}/chunks")
+          .as[graft.corpus.ChunkRow]
+        IndexBuilder.postings(persisted.limit(500)).count() // warm
+        val t0 = System.nanoTime()
+        val np = IndexBuilder.postings(persisted).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[graft] postbench: $np postings in $secs%.1fs")
       case "stats" =>
         println(TableIO.readManifest(paths.manifest).getOrElse(Map.empty)
           .toSeq.sortBy(_._1).map { case (k, v) => s"  $k = $v" }.mkString("\n"))

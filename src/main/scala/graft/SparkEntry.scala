@@ -77,7 +77,15 @@ object SparkEntry {
     spark.sql(sparkSql)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ SparkEntryExtra.extraQueries
+
+  def oracleSql: Map[String, String] = coreOracles ++ SparkEntryExtra.extraOracles
+
+  /** Exposed for SparkEntryExtra's WAND-vs-SQL oracle. */
+  private[graft] def bm25OracleScoreSql: String = bm25ScoreSql("duck")
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- analyzer / aggregation family (SURVEY §2.2, §2.3) ---
     "q_doc_token_stats" -> sqlQuery(Seq("documents"),
       s"""SELECT doc_id, size(${Sql.tokensSpark("text")}) AS n_tokens,
@@ -242,7 +250,7 @@ object SparkEntry {
   // DuckDB oracle SQL (same semantics, DuckDB dialect)
   // -------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracles: Map[String, String] = Map(
     "q_doc_token_stats" ->
       s"""SELECT doc_id, len(${Sql.tokensDuck("text")}) AS n_tokens,
             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_raw_tokens

@@ -67,21 +67,26 @@ object ChunkerJob {
 
   /** Keep-first dedup by md5 of normalized text; first = minimal
     * (source, page, chunkIdx) in the deterministic global order.
+    *
+    * Fully native (codegen + map-side partial aggregation): the min_by
+    * combiner collapses duplicates within each input partition before the
+    * shuffle, so shuffle volume is one row per distinct hash per partition —
+    * the scalable shape at 10^12 rows. `(?U)\W` matches the analyzer's
+    * Unicode-aware normalization (io_pdf.py:1230).
     */
   def dedup(chunks: Dataset[ChunkRow]): Dataset[ChunkRow] = {
     val spark = chunks.sparkSession
     import spark.implicits._
-    chunks
-      .map(c => (Analyzer.md5Hex(Analyzer.dedupNormalize(c.text)),
-        Analyzer.dedupNormalize(c.text).nonEmpty, c))
-      .filter(_._2)
-      .groupByKey(_._1)
-      .reduceGroups { (a, b) =>
-        val (ca, cb) = (a._3, b._3)
-        val ka = (ca.source, ca.page, ca.chunkIdx)
-        val kb = (cb.source, cb.page, cb.chunkIdx)
-        if (Ordering[(String, Int, Int)].lteq(ka, kb)) a else b
-      }
-      .map(_._2._3)
+    import org.apache.spark.sql.functions.{col, expr, md5, regexp_replace, lower}
+    val cols = chunks.toDF().columns
+    chunks.toDF()
+      .withColumn("__norm", regexp_replace(lower(col("text")), "(?U)\\W+", ""))
+      .filter(col("__norm") =!= "")
+      .withColumn("__h", md5(col("__norm")))
+      .groupBy("__h")
+      .agg(expr(s"min_by(struct(${cols.mkString(", ")}), " +
+        "struct(source, page, chunkIdx)) AS __row"))
+      .select(cols.map(c => col(s"__row.$c")): _*)
+      .as[ChunkRow]
   }
 }

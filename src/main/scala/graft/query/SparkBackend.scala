@@ -25,7 +25,11 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths,
   import spark.implicits._
 
   val stats: GlobalStats = IndexBuilder.loadStats(spark, paths)
+  // serving state: the chunk table is read in full by every query (bonus
+  // pass over all chunks, reference semantics), so keep it cached; postings
+  // stay on parquet where term-bucket partition pruning does the work.
   private val chunksDS = spark.read.parquet(paths.chunks).as[ChunkRow]
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   private val postingsDF = spark.read.parquet(paths.postings)
   private val termStatsDF = spark.read.parquet(paths.termStats)
   private val idfCache = scala.collection.mutable.HashMap.empty[String, Double]

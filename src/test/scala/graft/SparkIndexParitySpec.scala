@@ -91,6 +91,22 @@ class SparkIndexParitySpec extends AnyFunSuite {
     assert(blockBytes < nPostings * 16, s"$blockBytes bytes for $nPostings postings")
   }
 
+  test("distributed chunker + keep-first dedup reproduce the reference chunk set") {
+    import spark.implicits._
+    val pages = corpus.get("pages").elements().asScala.toList.map { p =>
+      graft.corpus.PageDoc(p.get("source").asText(), p.get("page").asInt(),
+        p.get("text").asText(), None)
+    }
+    val got = graft.corpus.ChunkerJob.chunk(
+      spark.createDataset(pages),
+      graft.corpus.ChunkerConfig(qualityCheck = false))
+      .collect().map(c => (c.source, c.page, c.text)).sortBy(t => (t._1, t._2, t._3))
+    val expected = Goldens.chunks.map(c => (c.source, c.page, c.text))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.length == expected.length)
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("metrics and manifest are written") {
     val metrics = spark.read.parquet(paths.metrics)
     assert(metrics.count() > 0)
