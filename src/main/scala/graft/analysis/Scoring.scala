@@ -127,11 +127,32 @@ object Scoring {
     math.max(0.0, 1.0 - excess / penaltyRange)
   }
 
+  /** Exact prescreen for [[fuzzyMatchBonus]]: the bonus fires only when an
+    * exact common substring of length >= minLength exists; any such
+    * substring fully covers one aligned length-(minLength/2) block of the
+    * query, so if no such block occurs in the text the bonus is provably 0
+    * — skipping the O(|t|*|q|) difflib pass on the vast majority of chunks.
+    */
+  private def fuzzyPossible(tn: String, qn: String, minLength: Int): Boolean = {
+    val block = minLength / 2
+    if (qn.length < minLength) return false
+    var i = 0
+    while (i + block <= qn.length) {
+      if (tn.contains(qn.substring(i, i + block))) return true
+      i += block
+    }
+    // trailing partial block: cover the query suffix too
+    if (qn.length % block != 0 && tn.contains(qn.substring(qn.length - block)))
+      return true
+    false
+  }
+
   /** scoring.py:197-257 fuzzy_match_bonus — difflib port for exactness. */
   def fuzzyMatchBonus(text: String, query: String, minLength: Int = 20): Double = {
     if (text == null || text.isEmpty || query == null || query.length < minLength) return 0.0
     val tn = Analyzer.pySplit(lower(text)).mkString(" ")
     val qn = Analyzer.pySplit(lower(query)).mkString(" ")
+    if (!fuzzyPossible(tn, qn, minLength)) return 0.0
     val matcher = new SequenceMatcher(tn, qn)
     val m = matcher.findLongestMatch(0, tn.length, 0, qn.length)
     if (m.size < minLength) return 0.0
@@ -145,6 +166,100 @@ object Scoring {
       else if (similarity >= 0.75) 0.1 + (similarity - 0.75) * 2.0
       else similarity * 0.1
     math.min(1.0, lengthScore + similarityScore)
+  }
+
+  /** Per-query precomputed state for the hot bonus path. Semantics are
+    * identical to [[applyBonuses]] (float-op order preserved); the
+    * query-independent bonuses (pattern, metadata, gibberish) are supplied
+    * precomputed — they are stored as chunk-table columns at index time —
+    * and all query-derived artifacts (token set, n-grams, normalized query,
+    * fuzzy prescreen blocks) are built once per query instead of per chunk.
+    */
+  final class QueryBonusContext(query: String, qTokens: Seq[String],
+                                proxWindow: Int = 24, proxLambda: Double = 0.2,
+                                ngramLambda: Double = 0.1) extends Serializable {
+    private val qset: Set[String] = qTokens.map(lower).toSet
+    private val ngrams: Array[String] = {
+      val toks = Analyzer.tokenize(query)
+      val bi = (0 until math.max(0, toks.length - 1)).map(i => toks.slice(i, i + 2).mkString(" "))
+      val tri = (0 until math.max(0, toks.length - 2)).map(i => toks.slice(i, i + 3).mkString(" "))
+      (bi ++ tri).toArray // order matters: bigrams then trigrams, cap 6
+    }
+    private val qn: String = Analyzer.pySplit(lower(query)).mkString(" ")
+    private val fuzzyActive: Boolean = query != null && query.length >= 20
+
+    private def proximity(tokens: Array[String]): Double = {
+      if (qset.size < 2 || tokens.length < 2) return 0.0
+      val positions = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Int]]
+      var i = 0
+      while (i < tokens.length) {
+        if (qset.contains(tokens(i)))
+          positions.getOrElseUpdate(tokens(i), mutable.ArrayBuffer.empty) += i
+        i += 1
+      }
+      if (positions.size < 2) return 0.0
+      var maxScore = 0.0
+      val lists = positions.values.toIndexedSeq
+      for (a <- lists.indices; b <- (a + 1) until lists.length;
+           p1 <- lists(a); p2 <- lists(b)) {
+        val d = math.abs(p1 - p2)
+        if (d <= proxWindow) {
+          val s = math.max(0.0, 1.0 - d.toDouble / proxWindow)
+          if (s > maxScore) maxScore = s
+        }
+      }
+      maxScore
+    }
+
+    private def ngram(t: String): Double = {
+      var hits = 0
+      var i = 0
+      while (i < ngrams.length && hits < 6) {
+        val ng = ngrams(i)
+        if (ng.length >= 5 && t.contains(ng)) hits += 1
+        i += 1
+      }
+      math.min(hits, 6).toDouble / 6
+    }
+
+    private def fuzzy(tn: String): Double = {
+      if (!fuzzyActive || tn.isEmpty) return 0.0
+      if (!Scoring.fuzzyPossible(tn, qn, 20)) return 0.0
+      val m = new SequenceMatcher(tn, qn).findLongestMatch(0, tn.length, 0, qn.length)
+      if (m.size < 20) return 0.0
+      val textMatch = tn.substring(m.a, m.a + m.size)
+      val queryMatch = qn.substring(m.b, m.b + m.size)
+      val similarity = new SequenceMatcher(textMatch, queryMatch).ratio
+      val lengthScore = math.min(0.5, m.size / 100.0)
+      val similarityScore =
+        if (similarity >= 0.95) 0.5
+        else if (similarity >= 0.85) 0.3 + (similarity - 0.85) * 2.0
+        else if (similarity >= 0.75) 0.1 + (similarity - 0.75) * 2.0
+        else similarity * 0.1
+      math.min(1.0, lengthScore + similarityScore)
+    }
+
+    /** Same float-op order as main.py:140-167 / [[applyBonuses]]. */
+    def score(base: Double, text: String, patternB: Double, metaB: Double,
+              gib: Double): Double = {
+      var s = base
+      val tokens = Analyzer.pySplit(lower(text))
+      if (proxLambda > 0 && proxWindow > 0) {
+        val pb = proximity(tokens)
+        if (pb != 0.0) s += proxLambda * pb
+      }
+      val tn = tokens.mkString(" ")
+      if (ngramLambda > 0) {
+        val nb = ngram(tn)
+        if (nb != 0.0) s += ngramLambda * nb
+      }
+      s += patternB
+      s += metaB
+      if (gib < 1.0) s *= gib
+      val fz = fuzzy(tn)
+      if (fz > 0) s += 2.0 * fz
+      s
+    }
   }
 
   /** main.py:140-167 — combined bonus application to a base BM25 score. */

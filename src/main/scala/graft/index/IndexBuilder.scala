@@ -102,35 +102,64 @@ object IndexBuilder {
             cfg: BuildConfig = BuildConfig()): GlobalStats = {
     import spark.implicits._
     val t0 = System.nanoTime()
+    var tPhase = t0
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[index-build] $name: ${(now - tPhase) / 1e9}%.1fs")
+      tPhase = now
+    }
 
-    chunks.write.mode(SaveMode.Overwrite).parquet(out.chunks)
+    // query-independent bonuses (reference scoring.py pattern/metadata/
+    // gibberish) are functions of the chunk alone — precompute once at
+    // build time as chunk-table columns so query-time work is query-derived
+    // only (semantics unchanged; see Scoring.QueryBonusContext)
+    val patternUdf = udf((text: String) => graft.analysis.Scoring.patternBonus(text))
+    val metaUdf = udf((text: String, title: String) =>
+      graft.analysis.Scoring.metadataBonus(text, Option(title)))
+    val gibUdf = udf((text: String) => graft.analysis.Scoring.gibberishPenalty(text))
+    chunks.toDF()
+      .withColumn("pattern_b", patternUdf(col("text")))
+      .withColumn("meta_b", metaUdf(col("text"), col("meta.title")))
+      .withColumn("gib", gibUdf(col("text")))
+      .write.mode(SaveMode.Overwrite).parquet(out.chunks)
     val chunksDF = spark.read.parquet(out.chunks).as[ChunkRow]
 
     val nDocs = chunksDF.count()
     require(nDocs > 0, "empty corpus")
+    phase("chunks")
 
+    // One shuffle clusters each term-hash bucket into a single task, so the
+    // dynamic-partition write emits exactly one file per bucket (vs
+    // tasks×buckets small files) and rows arrive term-sorted — parquet
+    // row-group stats then skip within a bucket on the pushed term filter.
     val post = postings(chunksDF)
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(cfg.nTermBuckets)).cast("int"))
+      .repartition(cfg.nTermBuckets, col("bucket"))
+      .sortWithinPartitions("bucket", "term", "chunkId")
     post.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.postings)
     val postDF = spark.read.parquet(out.postings)
+    phase("postings")
 
     // ---- statistics (broadcast source) ----
-    val totalTokens = postDF.agg(sum("tf")).as[Long].head()
-    val avgdl = totalTokens.toDouble / nDocs
-
-    val dfTable = postDF.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
+    // single pass: per-(term,bucket) df + tf sums; global totals from the
+    // tiny per-term table (map-side partial aggregation kills skew)
+    val dfTable = postDF.groupBy("term", "bucket")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf_sum"))
       .withColumn("raw_idf",
         log(lit(nDocs.toDouble) - col("df") + 0.5) - log(col("df") + 0.5))
     dfTable.persist()
-    val vocabRow = dfTable.agg(count(lit(1)), avg("raw_idf")).head()
-    val vocabSize = vocabRow.getLong(0)
-    val avgRawIdf = vocabRow.getDouble(1)
+    val totalsRow = dfTable.agg(count(lit(1)), avg("raw_idf"), sum("tf_sum")).head()
+    val vocabSize = totalsRow.getLong(0)
+    val avgRawIdf = totalsRow.getDouble(1)
+    val totalTokens = totalsRow.getLong(2)
+    val avgdl = totalTokens.toDouble / nDocs
     val eps = cfg.epsilon * avgRawIdf
     dfTable
       .withColumn("idf", when(col("raw_idf") < 0, lit(eps)).otherwise(col("raw_idf")))
       .select("term", "df", "idf", "bucket")
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.termStats)
     dfTable.unpersist()
+    phase("stats")
 
     // ---- compressed block build (salted repartition) ----
     val metricsAcc: CollectionAccumulator[PartitionMetric] =
@@ -180,6 +209,7 @@ object IndexBuilder {
       out.iterator
     }
     blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.blocks)
+    phase("blocks")
 
     val wallMs = (System.nanoTime() - t0) / 1000000
     val metrics = metricsAcc.value

@@ -18,6 +18,11 @@ case class PipelineConfig(
     prfEnabled: Boolean = false,
     fbDocs: Int = 6,
     fbTerms: Int = 10,
+    /** caller-supplied HyDE-style query variants (reference main.py:298-318;
+      * generation is external to the engine) — each adds a ranking run */
+    hydeVariants: Seq[String] = Nil,
+    semanticEnabled: Boolean = false,
+    semanticTopn: Int = 80,
     heuristicEnabled: Boolean = true,
     heuristicTopn: Int = 150,
     heuristicAlpha: Double = 0.6,
@@ -195,6 +200,25 @@ object Pipeline {
     selected.toList
   }
 
+  /** diversity.py:194-244 apply_diversity_selection — streaming variant:
+    * per-doc penalty, skip past cap, re-sort by adjusted score (stable).
+    */
+  def applyDiversitySelection(results: Seq[(Long, Double)], docIdOf: Long => Long,
+                              divLambda: Double = 0.3,
+                              maxPerDoc: Int = 2): List[(Long, Double)] = {
+    val counts = mutable.HashMap.empty[Long, Int]
+    val out = mutable.ArrayBuffer.empty[(Long, Double)]
+    for ((idx, score) <- results) {
+      val d = docIdOf(idx)
+      val c = counts.getOrElse(d, 0)
+      if (c < maxPerDoc) {
+        out += ((idx, score - c * divLambda))
+        counts(d) = c + 1
+      }
+    }
+    out.sortBy { case (_, s) => -s }.toList
+  }
+
   /** diversity.py:101-191 mmr_selection (numpy path: token-overlap sims). */
   def mmrSelection(query: String, candidates: Seq[(Long, String, Double)],
                    lambdaParam: Double = 0.7, k: Int = 10): List[Long] = {
@@ -315,7 +339,8 @@ object Pipeline {
 
   /** main.py:99-247 search_topk — full multi-run RRF pipeline. */
   def searchTopK(backend: SearchBackend, query: String, cfg: PipelineConfig,
-                 bm25Query: Option[String] = None): SearchOutput = {
+                 bm25Query: Option[String] = None,
+                 embeddings: Option[EmbeddingProvider] = None): SearchOutput = {
     val qTokens = Analyzer.tokenize(query).toIndexedSeq
     val bq = bm25Query.getOrElse(query)
 
@@ -338,6 +363,13 @@ object Pipeline {
     var runs = List.newBuilder[List[Long]]
     runs += poolIds.toList
 
+    // HyDE variant runs (fusion.py:99-108): query + hypothetical answer,
+    // limited to 3 variants; variants are caller-supplied strings
+    if (cfg.hydeVariants.length > 1) {
+      for (hydeQ <- cfg.hydeVariants.take(3))
+        runs += rankByBm25Order(s"$query $hydeQ")
+    }
+
     // Run B: RM3 (fusion.py:110-125)
     var rm3Expanded: Option[String] = None
     if (cfg.prfEnabled) {
@@ -355,6 +387,18 @@ object Pipeline {
       val candidates = pool.take(topn).map(p => (p._1.chunkId, p._1.text))
       runs += heuristicRerank(query, candidates, cfg.heuristicAlpha,
         cfg.heuristicBeta, cfg.heuristicGamma)
+    }
+
+    // Run D: semantic rerank (fusion.py:159-200; off by default). The
+    // reference falls back to original-score order when the model is
+    // unavailable — mirrored when no provider is supplied.
+    if (cfg.semanticEnabled) {
+      val topn = math.min(cfg.semanticTopn, pool.length)
+      val candidates = pool.take(topn).map(p => (p._1.chunkId, p._1.text, p._2))
+      runs += (embeddings match {
+        case Some(p) => Semantic.semanticRun(query, candidates, topn, p)
+        case None    => candidates.map(_._1).toList
+      })
     }
 
     // Run E: robust query variant (fusion.py:202-207)

@@ -28,8 +28,11 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths,
   // serving state: the chunk table is read in full by every query (bonus
   // pass over all chunks, reference semantics), so keep it cached; postings
   // stay on parquet where term-bucket partition pruning does the work.
-  private val chunksDS = spark.read.parquet(paths.chunks).as[ChunkRow]
+  // The DF keeps the precomputed static-bonus columns; `.as[ChunkRow]`
+  // views drop them where only the row shape is needed.
+  private val chunksRawDF = spark.read.parquet(paths.chunks)
     .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private val chunksDS = chunksRawDF.as[ChunkRow]
   private val postingsDF = spark.read.parquet(paths.postings)
   private val termStatsDF = spark.read.parquet(paths.termStats)
   private val idfCache = scala.collection.mutable.HashMap.empty[String, Double]
@@ -61,6 +64,17 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths,
     val buckets = qRows.map(r => IndexBuilder.termBucket(r._1, nTermBuckets)).distinct
     val q = qRows.toDF("term", "pos", "idf")
     val k1 = stats.k1; val b = stats.b; val avgdl = stats.avgdl
+    // Per-position partial sums keep the whole aggregation inside
+    // whole-stage codegen; adding the per-position columns left-to-right
+    // reproduces the reference's query-token-order float summation exactly
+    // (absent terms add literal 0.0, a float no-op — same as the dense
+    // reference loop).
+    val perPos = qRows.map { case (_, pos, _) =>
+      sum(when(col("pos") === pos, col("contrib"))).as(s"c$pos")
+    }
+    val orderedSum = qRows.map { case (_, pos, _) =>
+      coalesce(col(s"c$pos"), lit(0.0))
+    }.reduceLeft(_ + _)
     postingsDF
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(qRows.map(_._1).distinct: _*))
@@ -69,10 +83,8 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths,
         col("idf") * col("tf") * lit(k1 + 1) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
       .groupBy("chunkId")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("pos"), col("contrib")))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("contrib")).as("score"))
+      .agg(perPos.head, perPos.tail: _*)
+      .select(col("chunkId"), orderedSum.as("score"))
   }
 
   /** Dense bonused scores + distributed top-pool. */
@@ -81,16 +93,23 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths,
     val qTokens = Analyzer.tokenize(query).toIndexedSeq
     val bmTokens =
       if (bm25Query == query) qTokens else Analyzer.tokenize(bm25Query).toIndexedSeq
-    val proxWindow = cfg.proxWindow; val proxLambda = cfg.proxLambda
-    val ngramLambda = cfg.ngramLambda
-    val bonusUdf = udf { (base: Double, text: String, title: String) =>
-      Scoring.applyBonuses(base, text, query, qTokens, Option(title),
-        proxWindow, proxLambda, ngramLambda)
+    val ctx = new Scoring.QueryBonusContext(query, qTokens, cfg.proxWindow,
+      cfg.proxLambda, cfg.ngramLambda)
+    val bonusUdf = udf { (base: Double, text: String, patternB: Double,
+                          metaB: Double, gib: Double) =>
+      ctx.score(base, text, patternB, metaB, gib)
     }
-    val scored = chunksDS.toDF()
-      .join(scoresDF(bmTokens), Seq("chunkId"), "left")
+    // Broadcast the (chunkId, score) side: the chunk table (with its text
+    // payload) then never moves — the bonus pass runs on the cached
+    // partitions in place. Sparse scores are ~16B/doc; up to ~50M matched
+    // docs this beats reshuffling the corpus. Beyond that (head-term
+    // queries at 10^12 scale) serve top-k via WAND instead of the dense
+    // reference-exact path.
+    val scored = chunksRawDF
+      .join(broadcast(scoresDF(bmTokens)), Seq("chunkId"), "left")
       .na.fill(0.0, Seq("score"))
-      .withColumn("bscore", bonusUdf(col("score"), col("text"), col("meta.title")))
+      .withColumn("bscore", bonusUdf(col("score"), col("text"),
+        col("pattern_b"), col("meta_b"), col("gib")))
       .orderBy(desc("bscore"), asc("source"), asc("page"), asc("chunkIdx"))
       .limit(poolSize)
     scored.select(col("chunkId"), col("docId"), col("source"), col("page"),

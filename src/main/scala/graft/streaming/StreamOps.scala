@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators for the events stream. The reference has
+  * no streaming path (SURVEY §1.3) — its analog is incremental re-crawl —
+  * but the engine ships the streaming shapes a web-scale ingest needs:
+  * watermarked tumbling windows and stateful sessionization. The same
+  * transformations run on batch DataFrames (tested against the batch
+  * sessionize query) and on `readStream` sources.
+  */
+object StreamOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionUpdate(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long,
+                           total_value: Double, closed: Boolean)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Watermarked tumbling hourly counts — works on batch or stream. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("event_type"), col("window.start").as("hr"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Stateful sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState (event-time-ish using processing-time timeout
+    * as the close signal; emits updates per batch).
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st == null) st = SessionState(t, t, 1, e.value)
+            else if (t - st.last > gapSeconds * 1000) {
+              out += SessionUpdate(userId, new Timestamp(st.start),
+                new Timestamp(st.last), st.n, st.total, closed = true)
+              st = SessionState(t, t, 1, e.value)
+            } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+          }
+          if (st != null) {
+            state.update(st)
+            out += SessionUpdate(userId, new Timestamp(st.start),
+              new Timestamp(st.last), st.n, st.total, closed = false)
+          }
+          out.iterator
+      }
+  }
+}

@@ -103,4 +103,24 @@ class ScoringParitySpec extends AnyFunSuite {
   }
   test("gibberish_penalty parity") { check("gibberish")((t, _) => Scoring.gibberishPenalty(t)) }
   test("fuzzy_match_bonus parity") { check("fuzzy")((t, q) => Scoring.fuzzyMatchBonus(t, q)) }
+
+  test("QueryBonusContext fast path == applyBonuses on the golden corpus") {
+    val chunks = Goldens.chunks
+    val queries = Seq("machine learning algorithms", "quick brown fox",
+      "gradient descent optimization methods for neural networks training",
+      "transformer attention mechanisms are the core of modern neural networks today",
+      "the of and", "zzz nonexistent")
+    for (q <- queries) {
+      val qTokens = Analyzer.tokenize(q).toIndexedSeq
+      val ctx = new Scoring.QueryBonusContext(q, qTokens)
+      for (c <- chunks) {
+        val slow = Scoring.applyBonuses(1.25, c.text, q, qTokens, c.meta.title)
+        val fast = ctx.score(1.25, c.text,
+          Scoring.patternBonus(c.text),
+          Scoring.metadataBonus(c.text, c.meta.title),
+          Scoring.gibberishPenalty(c.text))
+        assert(slow == fast, s"q=$q chunk=${c.chunkId}: $slow != $fast")
+      }
+    }
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(min: Long) = new Timestamp(1704067200000L + min * 60000L)
+
+  test("streaming sessionization: gap split, state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: two events 5 min apart (one open session)
+    input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+    query.processAllAvailable()
+    val b1 = spark.sql("SELECT * FROM sessions").as[StreamOps.SessionUpdate].collect()
+    assert(b1.exists(s => s.user_id == 7 && s.n_events == 2 && !s.closed))
+
+    // batch 2: 40 min later -> closes the first session, opens a second;
+    // state carried across batches
+    input.addData(Event(3, ts(45), 7, "buy", 10.0))
+    query.processAllAvailable()
+    val b2 = spark.sql("SELECT * FROM sessions").as[StreamOps.SessionUpdate].collect()
+    assert(b2.exists(s => s.user_id == 7 && s.n_events == 2 && s.closed),
+      s"expected closed 2-event session, got ${b2.toSeq}")
+    assert(b2.exists(s => s.user_id == 7 && s.n_events == 1 && !s.closed &&
+      s.total_value == 10.0))
+    query.stop()
+  }
+
+  test("watermarked hourly counts over a stream match batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(1), 1, "click", 1.0), Event(2, ts(30), 2, "click", 2.0),
+      Event(3, ts(61), 1, "buy", 5.0), Event(4, ts(90), 3, "click", 3.0))
+    val input = MemoryStream[Event]
+    val query = StreamOps.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(events: _*)
+    query.processAllAvailable()
+    val streamed = spark.sql("SELECT event_type, hr, n, sum_value FROM hourly")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = StreamOps.hourlyCounts(events.toDF())
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+    query.stop()
+  }
+}

@@ -352,3 +352,100 @@ for case in rrf_cases:
 dump("rrf.json", rrf_cases)
 
 print("all goldens written to", OUT)
+
+# ---------------------------------------------------------------------------
+# 4. Misc direct-function vectors (operators not exercised by the pipeline
+#    defaults: MMR with >k candidates, apply_diversity_selection, citations,
+#    rerank internals, DOI regex)
+# ---------------------------------------------------------------------------
+from lightweight_rag import models as ref_models, rerank as ref_rerank, cite as ref_cite
+from lightweight_rag.diversity import mmr_selection, apply_diversity_selection
+
+misc = {}
+
+misc["find_doi"] = [
+    {"text": t, "doi": ref_models.find_doi_in_text(t)}
+    for t in ["no doi here", "see 10.1234/abcd.efg123], trailing",
+              "DOI: 10.5555/J.PROC-2020.77;", "10.12/short", "prefix 10.99999/x(y):z.,"]
+]
+
+misc["window"] = [
+    {"text": t, "maxlen": m, "out": ref_models.window(t, m)}
+    for t in ["  padded  text\nwith lines  ", "x" * 950, "short"]
+    for m in [10, 100, 900]
+]
+
+rng3 = random.Random(99)
+mmr_cases = []
+for n, k in [(12, 5), (25, 8), (6, 6), (3, 8)]:
+    cands = []
+    for i in range(n):
+        words = [rng3.choice(WORDS) for _ in range(rng3.randint(5, 30))]
+        cands.append([i * 7, " ".join(words), rng3.uniform(0, 10)])
+    q = " ".join(rng3.choice(WORDS) for _ in range(4))
+    sel = mmr_selection(q, [tuple(c) for c in cands], 0.7, k)
+    mmr_cases.append({"query": q, "candidates": cands, "k": k, "selected": sel})
+misc["mmr"] = mmr_cases
+
+adv_cases = []
+for trial in range(4):
+    n = rng3.randint(5, 30)
+    results = [[rng3.randrange(len(chunks)), rng3.uniform(0, 10)] for _ in range(n)]
+    results.sort(key=lambda x: -x[1])
+    out = apply_diversity_selection([tuple(r) for r in results], chunks, 0.3, 2)
+    adv_cases.append({"results": results,
+                      "out": [[i, s] for i, s in out]})
+misc["apply_diversity"] = adv_cases
+
+cite_cases = []
+for meta_kw, page in [
+    (dict(title="T", authors=[], year=None, doi=None, source="s"), 3),
+    (dict(title="T", authors=["Smith, John"], year=2020, doi=None, source="s"), 1),
+    (dict(title=None, authors=["Garcia, A.", "Wu, B."], year=2019, doi=None,
+          source="s", start_page=300, citekey="garcia2019x"), 5),
+    (dict(title=None, authors=["Lee, C."], year=None, doi=None, source="s",
+          citekey="lee"), 2),
+]:
+    m = DocMeta(**meta_kw)
+    cite_cases.append({
+        "meta": meta_kw, "page": page,
+        "author_date": ref_cite.author_date_citation(m, page),
+        "pandoc": ref_cite.pandoc_citation(m, page)})
+misc["citations"] = cite_cases
+
+rr_cases = []
+for trial in range(6):
+    q = " ".join(rng3.choice(WORDS) for _ in range(rng3.randint(2, 6)))
+    doc = " ".join(rng3.choice(WORDS) for _ in range(rng3.randint(10, 120)))
+    qt = ref_rerank.tokenize_for_rerank(q)
+    dt = ref_rerank.tokenize_for_rerank(doc)
+    idf = ref_rerank.idf_weight(qt, {}, 100000)
+    rr_cases.append({
+        "query": q, "doc": doc,
+        "idf": idf,
+        "coverage": ref_rerank.coverage_score(qt, dt, idf),
+        "proximity": ref_rerank.proximity_score(qt, dt, window=24),
+        "phrase": ref_rerank.phrase_boost(q, doc)})
+misc["rerank_internals"] = rr_cases
+
+dump("misc_vectors.json", misc)
+
+# citekey fallback assignment goldens (io_pdf.py:558-606)
+from lightweight_rag.io_pdf import _ensure_citekeys_for_corpus, _generate_fallback_citekey
+
+ck_corpus = []
+files = ["Alpha_paper 2020.pdf", "alpha-other.pdf", "Alpha_second.pdf",
+         "beta,report.pdf", "verylongfilenamethatexceeds.pdf", "gamma.pdf",
+         "alpha_third.pdf"]
+for d, fn in enumerate(files):
+    for p in range(1, 3):
+        meta = DocMeta(title=None, authors=[], year=None, doi=None,
+                       source=fn, citekey=("preset" if d == 5 else None))
+        ck_corpus.append(Chunk(doc_id=d, source=fn, page=p, text=f"t{d}p{p}", meta=meta))
+_ensure_citekeys_for_corpus(ck_corpus)
+misc2 = {
+    "fallback_keys": [{"filename": f, "key": _generate_fallback_citekey(f)} for f in files],
+    "assigned": [{"source": c.source, "page": c.page, "citekey": c.meta.citekey}
+                 for c in ck_corpus],
+}
+dump("citekeys.json", misc2)
