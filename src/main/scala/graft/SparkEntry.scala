@@ -143,28 +143,36 @@ object SparkEntry {
             coalesce(array_min(transform(sh, s -> md5(concat('3:', s)))), '') AS sig3
           FROM sh ORDER BY doc_id""") _,
 
-    "q_lsh_pairs" -> sqlQuery(Seq("documents"),
-      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
-          sh AS (SELECT doc_id, ${Sql.shinglesSpark("tk")} AS sh FROM toks WHERE size(tk) >= 3),
-          sig AS (SELECT doc_id,
-            md5(concat(array_min(transform(sh, s -> md5(concat('0:', s)))),
-                       array_min(transform(sh, s -> md5(concat('1:', s)))))) AS b0,
-            md5(concat(array_min(transform(sh, s -> md5(concat('2:', s)))),
-                       array_min(transform(sh, s -> md5(concat('3:', s)))))) AS b1
-            FROM sh WHERE size(sh) > 0),
-          bands AS (SELECT doc_id, band FROM (
+    "q_lsh_pairs" -> ((spark: SparkSession, dir: String) => {
+      views(spark, dir, "documents")
+      // Spark does not materialize CTEs — the minhash stage would re-run
+      // for every self-join branch; checkpoint it once (the oracle's
+      // DuckDB CTEs materialize natively).
+      spark.sql(
+        s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
+            sh AS (SELECT doc_id, ${Sql.shinglesSpark("tk")} AS sh FROM toks
+                   WHERE size(tk) >= 3),
+            sig AS (SELECT doc_id,
+              md5(concat(array_min(transform(sh, s -> md5(concat('0:', s)))),
+                         array_min(transform(sh, s -> md5(concat('1:', s)))))) AS b0,
+              md5(concat(array_min(transform(sh, s -> md5(concat('2:', s)))),
+                         array_min(transform(sh, s -> md5(concat('3:', s)))))) AS b1
+              FROM sh WHERE size(sh) > 0)
+            SELECT doc_id, band FROM (
               SELECT doc_id, b0 AS band FROM sig
-              UNION ALL SELECT doc_id, b1 AS band FROM sig)),
-          -- mega-buckets carry no dedup signal and explode the self-join;
-          -- cap band size (applied identically in the oracle)
-          ok AS (SELECT band FROM bands GROUP BY band
-                 HAVING count(*) BETWEEN 2 AND 50),
-          small_bands AS (SELECT b.doc_id, b.band FROM bands b
-                          JOIN ok ON b.band = ok.band)
-          SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-          FROM small_bands a JOIN small_bands b
-            ON a.band = b.band AND a.doc_id < b.doc_id
-          ORDER BY x, y""") _,
+              UNION ALL SELECT doc_id, b1 AS band FROM sig)""")
+        .localCheckpoint(true)
+        .createOrReplaceTempView("graft_lsh_bands")
+      spark.sql(
+        """WITH ok AS (SELECT band FROM graft_lsh_bands GROUP BY band
+                       HAVING count(*) BETWEEN 2 AND 50),
+            small_bands AS (SELECT b.doc_id, b.band FROM graft_lsh_bands b
+                            JOIN ok ON b.band = ok.band)
+            SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+            FROM small_bands a JOIN small_bands b
+              ON a.band = b.band AND a.doc_id < b.doc_id
+            ORDER BY x, y""")
+    }),
 
     "q_jaccard_pairs" -> sqlQuery(Seq("documents"),
       s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),

@@ -24,7 +24,11 @@ object Wand {
 
   private final class Cursor(val weight: Double, blocks: IndexedSeq[BlockRow],
                              k1: Double, b: Double, avgdl: Double) {
-    val termUpperBound: Double = weight * blocks.iterator.map(_.maxTfNorm).max
+    // A term with negative weight (the BM25Okapi negative-eps floor on a
+    // stopword-dense corpus) can only lower a doc's score; its valid upper
+    // bound for pivot pruning is 0, not weight*maxTfNorm.
+    val termUpperBound: Double =
+      math.max(0.0, weight * blocks.iterator.map(_.maxTfNorm).max)
     private var bi = 0
     private var di = 0
     private var docs: Array[Long] = _

@@ -81,6 +81,38 @@ class SparkIndexParitySpec extends AnyFunSuite {
     }
   }
 
+  test("WAND is correct under all-negative idf (stopword-dense corpus)") {
+    // every term appears in nearly every doc -> raw idf < 0 for all terms,
+    // eps floor negative (faithful BM25Okapi behavior); WAND must clamp
+    // term upper bounds at 0 or it prunes wrongly (regression: sf0.1)
+    import spark.implicits._
+    val texts = (0 until 300).map { i =>
+      val rare = if (i % 7 == 0) " gamma" else ""
+      s"alpha beta${" alpha" * (i % 4)}$rare common tokens everywhere"
+    }
+    val chunks = texts.zipWithIndex.map { case (t, i) =>
+      graft.corpus.ChunkRow(i.toLong, i.toLong, s"s$i", 1, 0, t, graft.corpus.ChunkMeta())
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-negidf").toString
+    val p = IndexPaths(dir)
+    IndexBuilder.build(spark, spark.createDataset(chunks), p,
+      BuildConfig(nTermBuckets = 4, nDocShards = 2, shufflePartitions = 4))
+    val be = new graft.query.SparkBackend(spark, p, nTermBuckets = 4)
+    assert(be.idfFor(Seq("alpha"))("alpha") < 0, "setup must produce negative idf")
+    val local = new LocalBackend(chunks.toIndexedSeq)
+    for (q <- Seq("alpha beta", "alpha gamma", "alpha alpha beta")) {
+      val toks = graft.analysis.Analyzer.tokenize(q).toIndexedSeq
+      val wand = Wand.topK(spark, p, be.stats, q, 10, be.idfFor, nTermBuckets = 4)
+      val dense = local.denseScores(toks).zipWithIndex
+        .filter(_._1 != 0.0).sortBy { case (s, i) => (-s, i.toLong) }
+        .take(10).map { case (s, i) => (i.toLong, s) }.toSeq
+      assert(wand.map(_._1) == dense.map(_._1), s"'$q': $wand vs $dense")
+      wand.zip(dense).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9)
+      }
+    }
+  }
+
   test("postings compression: blocks smaller than raw postings") {
     import org.apache.spark.sql.functions._
     val blockBytes = spark.read.parquet(paths.blocks)
