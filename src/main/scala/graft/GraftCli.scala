@@ -21,6 +21,7 @@ object GraftCli {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS",
