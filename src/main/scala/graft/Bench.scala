@@ -63,6 +63,16 @@ object Bench {
       java.nio.file.Paths.get(base), "graft-bench").toString
   }
 
+  /** Delete a bench temp tree (tmpfs space is shared across rounds). */
+  private def rmTree(path: String): Unit = {
+    import java.nio.file._
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
   private def mapOnlySecs(s: SparkSession, nPages: Long): Double = {
     import s.implicits._
     val pages = WebPages.generate(s, nPages, 42, s.sparkContext.defaultParallelism * 2)
@@ -120,7 +130,8 @@ object Bench {
         val (bs, nc, paths) = buildSecs(s, nPages)
         buildT += c -> (bs :: buildT(c))
         nChunks = nc
-        if (c == big) queryPaths = paths
+        if (c == big && queryPaths == null) queryPaths = paths
+        else rmTree(paths.root) // keep one index for the query phase
       } finally s.stop()
     }
     val mapEff = (mapT(small).min / mapT(big).min) / (big.toDouble / small)
@@ -136,6 +147,8 @@ object Bench {
     val wandLatencies = FrozenQueries.map(q =>
       time(Wand.topK(sparkQ, queryPaths, backend.stats, q, 10, backend.idfFor))._2)
     sparkQ.stop()
+    rmTree(queryPaths.root)
+    rmTree("/dev/shm/graft-spark")
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

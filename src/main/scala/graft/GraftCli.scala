@@ -28,6 +28,7 @@ object GraftCli {
           if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark" else "/tmp"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.spark.GraftExtensions.register(s) // no-op if injected via conf
     s
   }
 

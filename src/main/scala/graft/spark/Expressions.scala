@@ -76,14 +76,24 @@ case class NormalizeTextExpression(child: Expression)
   * `--conf spark.sql.extensions=graft.spark.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_tokenize"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_tokenize"),
       new ExpressionInfo(classOf[TokenizeExpression].getName, "graft_tokenize"),
-      (children: Seq[Expression]) => TokenizeExpression(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_normalize"),
+      (children: Seq[Expression]) => TokenizeExpression(children.head)),
+    (FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[NormalizeTextExpression].getName, "graft_normalize"),
       (children: Seq[Expression]) => NormalizeTextExpression(children.head)))
-  }
+
+  /** Imperative registration for an already-created session (the
+    * spark.sql.extensions conf only applies at SparkSession build time).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

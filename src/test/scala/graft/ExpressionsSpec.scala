@@ -7,15 +7,11 @@ import graft.analysis.Analyzer
 
 class ExpressionsSpec extends AnyFunSuite {
 
+  // the shared test session may already exist (extensions conf applies only
+  // at build time), so register imperatively — same path GraftCli uses
   private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    val s = SparkTestSession.spark
+    graft.spark.GraftExtensions.register(s)
     s
   }
 
