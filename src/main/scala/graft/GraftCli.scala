@@ -201,7 +201,7 @@ object GraftCli {
         println("==== scoresDF (postings join) ====")
         backend.scoresDF(toks).explain("formatted")
         println("==== blocks scan (WAND input) ====")
-        val buckets = toks.map(IndexBuilder.termBucket(_, 32)).distinct
+        val buckets = toks.map(IndexBuilder.termBucket(_, backend.stats.nTermBuckets)).distinct
         spark.read.parquet(paths.blocks)
           .filter(org.apache.spark.sql.functions.col("bucket").isin(buckets: _*) &&
             org.apache.spark.sql.functions.col("term").isin(toks: _*))

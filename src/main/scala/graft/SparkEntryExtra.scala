@@ -121,7 +121,7 @@ private[graft] object SparkEntryExtra {
       import spark.implicits._
       val (paths, backend) = DocIndex.backendFor(spark, dir)
       val top = graft.query.Wand.topK(spark, paths, backend.stats, QString, 20,
-        backend.idfFor, DocIndex.TermBuckets)
+        backend.idfFor)
       top.toDF("doc_id", "score")
         .withColumn("score", round(col("score"), 4))
         .orderBy(desc("score"), asc("doc_id"))

@@ -22,7 +22,8 @@ case class BlockRow(bucket: Int, shard: Int, term: String, blockId: Int, n: Int,
 
 case class GlobalStats(nDocs: Long, totalTokens: Long, avgdl: Double,
                        vocabSize: Long, avgRawIdf: Double, eps: Double,
-                       k1: Double, b: Double, configHash: String, snapshotId: String)
+                       k1: Double, b: Double, nTermBuckets: Int,
+                       configHash: String, snapshotId: String)
 
 case class BuildConfig(
     k1: Double = 1.4,
@@ -220,7 +221,7 @@ object IndexBuilder {
 
     val snapshotId = Analyzer.md5Hex(s"$nDocs|$totalTokens|${cfg.configHash}")
     val stats = GlobalStats(nDocs, totalTokens, avgdl, vocabSize, avgRawIdf, eps,
-      cfg.k1, cfg.b, cfg.configHash, snapshotId)
+      cfg.k1, cfg.b, cfg.nTermBuckets, cfg.configHash, snapshotId)
     Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(out.globalStats)
     TableIO.writeManifest(out.manifest, Map(
       "snapshot_id" -> snapshotId, "n_docs" -> nDocs.toString,

@@ -20,11 +20,13 @@ import graft.index.{GlobalStats, IndexBuilder, IndexPaths}
   *     Catalyst plans TakeOrderedAndProject, no global sort;
   *  4. everything after the <=poolSize pool runs driver-side (Pipeline).
   */
-final class SparkBackend(spark: SparkSession, paths: IndexPaths,
-                         nTermBuckets: Int = 32) extends SearchBackend {
+final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchBackend {
   import spark.implicits._
 
   val stats: GlobalStats = IndexBuilder.loadStats(spark, paths)
+  // bucket count travels with the index — a mismatched constant here would
+  // silently prune the wrong partitions
+  private val nTermBuckets: Int = stats.nTermBuckets
   // serving state: the chunk table is read in full by every query (bonus
   // pass over all chunks, reference semantics), so keep it cached; postings
   // stay on parquet where term-bucket partition pruning does the work.

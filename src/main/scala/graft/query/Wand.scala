@@ -159,8 +159,8 @@ object Wand {
     * Blocks scan is pruned to the query terms' buckets.
     */
   def topK(spark: SparkSession, paths: IndexPaths, stats: GlobalStats,
-           query: String, k: Int, idfFor: Seq[String] => Map[String, Double],
-           nTermBuckets: Int = 32): Seq[(Long, Double)] = {
+           query: String, k: Int,
+           idfFor: Seq[String] => Map[String, Double]): Seq[(Long, Double)] = {
     import spark.implicits._
     val tokens = Analyzer.tokenize(query).toIndexedSeq
     if (tokens.isEmpty) return Nil
@@ -170,7 +170,7 @@ object Wand {
     val weights = termOrder.map(t => t -> mult(t) * idf(t)).toMap
     val liveTerms = termOrder.filter(weights(_) != 0.0)
     if (liveTerms.isEmpty) return Nil
-    val buckets = liveTerms.map(IndexBuilder.termBucket(_, nTermBuckets)).distinct
+    val buckets = liveTerms.map(IndexBuilder.termBucket(_, stats.nTermBuckets)).distinct
     val k1 = stats.k1; val b = stats.b; val avgdl = stats.avgdl
 
     val blocks = spark.read.parquet(paths.blocks)

@@ -30,6 +30,6 @@ object DocIndex {
       IndexBuilder.build(spark, docs, paths,
         BuildConfig(nTermBuckets = TermBuckets, nDocShards = 4,
           shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "8").toInt))
-      (paths, new SparkBackend(spark, paths, TermBuckets))
+      (paths, new SparkBackend(spark, paths))
     })
 }

@@ -43,8 +43,8 @@ class ResumableBuildSpec extends AnyFunSuite {
 
     // identical search results through both indexes
     val cfgP = graft.query.PipelineConfig()
-    val b1 = new graft.query.SparkBackend(spark, out, build.nTermBuckets)
-    val b2 = new graft.query.SparkBackend(spark, out2, build.nTermBuckets)
+    val b1 = new graft.query.SparkBackend(spark, out)
+    val b2 = new graft.query.SparkBackend(spark, out2)
     val q = "quantum physics experiment"
     val r1 = graft.query.Pipeline.searchTopK(b1, q, cfgP)
     val r2 = graft.query.Pipeline.searchTopK(b2, q, cfgP)

@@ -23,7 +23,7 @@ class SparkIndexParitySpec extends AnyFunSuite {
         nTermBuckets = 8, nDocShards = 2, shufflePartitions = 8))
     p
   }
-  private lazy val backend = new SparkBackend(spark, paths, nTermBuckets = 8)
+  private lazy val backend = new SparkBackend(spark, paths)
   private lazy val local = new LocalBackend(Goldens.chunks,
     corpus.get("k1").asDouble(), corpus.get("b").asDouble())
   private lazy val goldens = Goldens.load("pipeline.json").elements().asScala.toList
@@ -66,7 +66,7 @@ class SparkIndexParitySpec extends AnyFunSuite {
       "spark shuffle partition")
     for (q <- queries) {
       val toks = graft.analysis.Analyzer.tokenize(q).toIndexedSeq
-      val wand = Wand.topK(spark, paths, backend.stats, q, 10, backend.idfFor, nTermBuckets = 8)
+      val wand = Wand.topK(spark, paths, backend.stats, q, 10, backend.idfFor)
       // reference scoring path: dense local scores, top-10 by (score desc, id asc)
       val dense = local.denseScores(toks)
       val expected = dense.zipWithIndex
@@ -97,12 +97,12 @@ class SparkIndexParitySpec extends AnyFunSuite {
     val p = IndexPaths(dir)
     IndexBuilder.build(spark, spark.createDataset(chunks), p,
       BuildConfig(nTermBuckets = 4, nDocShards = 2, shufflePartitions = 4))
-    val be = new graft.query.SparkBackend(spark, p, nTermBuckets = 4)
+    val be = new graft.query.SparkBackend(spark, p)
     assert(be.idfFor(Seq("alpha"))("alpha") < 0, "setup must produce negative idf")
     val local = new LocalBackend(chunks.toIndexedSeq)
     for (q <- Seq("alpha beta", "alpha gamma", "alpha alpha beta")) {
       val toks = graft.analysis.Analyzer.tokenize(q).toIndexedSeq
-      val wand = Wand.topK(spark, p, be.stats, q, 10, be.idfFor, nTermBuckets = 4)
+      val wand = Wand.topK(spark, p, be.stats, q, 10, be.idfFor)
       val dense = local.denseScores(toks).zipWithIndex
         .filter(_._1 != 0.0).sortBy { case (s, i) => (-s, i.toLong) }
         .take(10).map { case (s, i) => (i.toLong, s) }.toSeq
