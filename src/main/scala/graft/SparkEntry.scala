@@ -77,6 +77,52 @@ object SparkEntry {
     spark.sql(sparkSql)
   }
 
+  /** Spark re-evaluates CTEs per consumer; the BM25 family (tf/df/idf/
+    * stats over documents) shares one checkpointed set of views per sfDir.
+    * Semantics identical to the inline CTEs the DuckDB oracles use.
+    */
+  private val bm25Prepared = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def prepareBm25Views(spark: SparkSession, dir: String): Unit = {
+    views(spark, dir, "documents")
+    bm25Prepared.computeIfAbsent(dir, _ => {
+      val toks = spark.sql(
+        s"SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents")
+        .localCheckpoint(true)
+      toks.createOrReplaceTempView("graft_toks")
+      spark.sql("SELECT doc_id, size(tk) AS dl FROM graft_toks")
+        .createOrReplaceTempView("graft_lens")
+      spark.sql("""SELECT count(*) AS n, CAST(sum(size(tk)) AS DOUBLE)/count(*) AS avgdl
+                   FROM graft_toks""").localCheckpoint(true)
+        .createOrReplaceTempView("graft_stats")
+      val tf = spark.sql(
+        """SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, explode(tk) AS term FROM graft_toks)
+           GROUP BY doc_id, term""").localCheckpoint(true)
+      tf.createOrReplaceTempView("graft_tf")
+      spark.sql(
+        """WITH df AS (SELECT term, count(*) AS df FROM graft_tf GROUP BY term),
+           rawidf AS (SELECT term, df,
+             ln((SELECT n FROM graft_stats) - df + 0.5) - ln(df + 0.5) AS idf FROM df),
+           eps AS (SELECT 0.25 * avg(idf) AS eps FROM rawidf)
+           SELECT term, df, CASE WHEN idf < 0 THEN (SELECT eps FROM eps) ELSE idf END AS idf
+           FROM rawidf""").localCheckpoint(true)
+        .createOrReplaceTempView("graft_idf")
+      true
+    })
+    ()
+  }
+
+  private def bm25ScoresViewSql: String =
+    s"""scores AS (
+      SELECT tf.doc_id,
+             sum(idf.idf * tf.tf * ($K1 + 1) /
+                 (tf.tf + $K1 * (1 - $B + $B * lens.dl / (SELECT avgdl FROM graft_stats)))) AS score
+      FROM (SELECT * FROM VALUES $qValuesSql AS q(term)) q
+      JOIN graft_tf tf ON tf.term = q.term
+      JOIN graft_idf idf ON idf.term = q.term
+      JOIN graft_lens lens ON lens.doc_id = tf.doc_id
+      GROUP BY tf.doc_id)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ SparkEntryExtra.extraQueries
 
@@ -105,26 +151,33 @@ object SparkEntry {
                  (SELECT count(*) FROM (SELECT DISTINCT explode(tk) FROM toks)) AS vocab
           FROM lens""") _,
 
-    "q_term_idf" -> sqlQuery(Seq("documents"),
-      s"""WITH $bm25CtesSpark
-          SELECT term, df, round(idf, 4) AS idf FROM idf
-          ORDER BY df DESC, term LIMIT 300""") _,
+    "q_term_idf" -> ((spark: SparkSession, dir: String) => {
+      prepareBm25Views(spark, dir)
+      spark.sql("""SELECT term, df, round(idf, 4) AS idf FROM graft_idf
+                   ORDER BY df DESC, term LIMIT 300""")
+    }),
 
-    "q_bm25_topk" -> sqlQuery(Seq("documents"),
-      s"""${bm25ScoreSql("spark")}
-          SELECT doc_id, round(score, 4) AS score FROM scores
-          ORDER BY score DESC, doc_id LIMIT 20""") _,
+    "q_bm25_topk" -> ((spark: SparkSession, dir: String) => {
+      prepareBm25Views(spark, dir)
+      spark.sql(
+        s"""WITH $bm25ScoresViewSql
+            SELECT doc_id, round(score, 4) AS score FROM scores
+            ORDER BY score DESC, doc_id LIMIT 20""")
+    }),
 
-    "q_rm3_terms" -> sqlQuery(Seq("documents"),
-      s"""${bm25ScoreSql("spark")},
-          top_docs AS (SELECT doc_id FROM scores
-                       ORDER BY round(score, 4) DESC, doc_id LIMIT 6),
-          fb AS (SELECT term, count(*) AS cnt
-                 FROM (SELECT explode(tk) AS term FROM toks
-                       WHERE doc_id IN (SELECT doc_id FROM top_docs))
-                 WHERE length(term) >= 3 AND term NOT IN (${QTerms.map(t => s"'$t'").mkString(",")})
-                 GROUP BY term)
-          SELECT term, cnt FROM fb ORDER BY cnt DESC, term LIMIT 10""") _,
+    "q_rm3_terms" -> ((spark: SparkSession, dir: String) => {
+      prepareBm25Views(spark, dir)
+      spark.sql(
+        s"""WITH $bm25ScoresViewSql,
+            top_docs AS (SELECT doc_id FROM scores
+                         ORDER BY round(score, 4) DESC, doc_id LIMIT 6),
+            fb AS (SELECT term, count(*) AS cnt
+                   FROM (SELECT explode(tk) AS term FROM graft_toks
+                         WHERE doc_id IN (SELECT doc_id FROM top_docs))
+                   WHERE length(term) >= 3 AND term NOT IN (${QTerms.map(t => s"'$t'").mkString(",")})
+                   GROUP BY term)
+            SELECT term, cnt FROM fb ORDER BY cnt DESC, term LIMIT 10""")
+    }),
 
     // --- dedup family (training-data ops) ---
     "q_dedup_exact" -> sqlQuery(Seq("documents"),
