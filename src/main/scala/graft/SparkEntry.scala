@@ -24,6 +24,20 @@ object SparkEntry {
       spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
     }
 
+  /** Tight-loop minhash UDFs (64 perms over pre-hashed shingles); the
+    * arithmetic is mirrored verbatim by the DuckDB oracle SQL (same A/B/P
+    * constants from graft.ops.Minhash).
+    */
+  private def registerMinhashUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("graft_minhash64",
+      (hs: Seq[Long]) =>
+        graft.ops.Minhash.signature(if (hs == null) null else hs.toArray))
+    spark.udf.register("graft_minhash_bands",
+      (hs: Seq[Long]) =>
+        graft.ops.Minhash.bands(
+          graft.ops.Minhash.signature(if (hs == null) null else hs.toArray)))
+  }
+
   /** Shared BM25 CTE chain (Spark dialect). */
   private def bm25CtesSpark: String = s"""
     toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
@@ -186,34 +200,31 @@ object SparkEntry {
           SELECT hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count
           FROM h GROUP BY hash ORDER BY keep_doc_id""") _,
 
-    "q_minhash_sigs" -> sqlQuery(Seq("documents"),
-      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
-          sh AS (SELECT doc_id, ${Sql.shinglesSpark("tk")} AS sh FROM toks)
-          SELECT doc_id,
-            coalesce(array_min(transform(sh, s -> md5(concat('0:', s)))), '') AS sig0,
-            coalesce(array_min(transform(sh, s -> md5(concat('1:', s)))), '') AS sig1,
-            coalesce(array_min(transform(sh, s -> md5(concat('2:', s)))), '') AS sig2,
-            coalesce(array_min(transform(sh, s -> md5(concat('3:', s)))), '') AS sig3
-          FROM sh ORDER BY doc_id""") _,
+    "q_minhash_sigs" -> ((spark: SparkSession, dir: String) => {
+      views(spark, dir, "documents")
+      registerMinhashUdfs(spark)
+      spark.sql(
+        s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
+            hs AS (SELECT doc_id, ${Sql.shingleHashSpark(Sql.shinglesSpark("tk"))} AS hs FROM toks),
+            sig AS (SELECT doc_id, graft_minhash64(hs) AS sig FROM hs)
+            SELECT doc_id, element_at(sig, 1) AS sig0, element_at(sig, 2) AS sig1,
+                   element_at(sig, 32) AS sig31, element_at(sig, 64) AS sig63,
+                   aggregate(sig, 0L, (acc, v) -> acc + v) AS sig_sum
+            FROM sig ORDER BY doc_id""")
+    }),
 
     "q_lsh_pairs" -> ((spark: SparkSession, dir: String) => {
       views(spark, dir, "documents")
+      registerMinhashUdfs(spark)
       // Spark does not materialize CTEs — the minhash stage would re-run
       // for every self-join branch; checkpoint it once (the oracle's
       // DuckDB CTEs materialize natively).
       spark.sql(
-        s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
-            sh AS (SELECT doc_id, ${Sql.shinglesSpark("tk")} AS sh FROM toks
-                   WHERE size(tk) >= 3),
-            sig AS (SELECT doc_id,
-              md5(concat(array_min(transform(sh, s -> md5(concat('0:', s)))),
-                         array_min(transform(sh, s -> md5(concat('1:', s)))))) AS b0,
-              md5(concat(array_min(transform(sh, s -> md5(concat('2:', s)))),
-                         array_min(transform(sh, s -> md5(concat('3:', s)))))) AS b1
-              FROM sh WHERE size(sh) > 0)
-            SELECT doc_id, band FROM (
-              SELECT doc_id, b0 AS band FROM sig
-              UNION ALL SELECT doc_id, b1 AS band FROM sig)""")
+        s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents
+                          WHERE size(${Sql.tokensSpark("text")}) >= 3),
+            hs AS (SELECT doc_id, ${Sql.shingleHashSpark(Sql.shinglesSpark("tk"))} AS hs FROM toks)
+            SELECT doc_id, explode(graft_minhash_bands(hs)) AS band
+            FROM hs WHERE size(hs) > 0""")
         .localCheckpoint(true)
         .createOrReplaceTempView("graft_lsh_bands")
       spark.sql(
@@ -296,7 +307,8 @@ object SparkEntry {
                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                FROM events),
           m AS (SELECT user_id,
-                 CASE WHEN prev IS NULL OR unix_timestamp(ts) - unix_timestamp(prev) > 1800
+                 CASE WHEN prev IS NULL OR unix_micros(CAST(ts AS TIMESTAMP)) -
+                                           unix_micros(CAST(prev AS TIMESTAMP)) > 1800000000
                       THEN 1 ELSE 0 END AS new_s FROM e)
           SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
           FROM m GROUP BY user_id ORDER BY user_id""") _,
@@ -320,6 +332,22 @@ object SparkEntry {
   // -------------------------------------------------------------------
   // DuckDB oracle SQL (same semantics, DuckDB dialect)
   // -------------------------------------------------------------------
+
+  /** minhash sig_i over a DuckDB `hs` list column (graft.ops.Minhash
+    * arithmetic with the identical A/B/P constants; -1 for shingle-less
+    * docs, matching Minhash.signature).
+    */
+  private def duckSigExpr(i: Int): String = {
+    val a = graft.ops.Minhash.A(i); val b = graft.ops.Minhash.B(i)
+    s"coalesce(list_min(list_transform(hs, h -> ($a * h + $b) % ${graft.ops.Minhash.P})), -1)"
+  }
+
+  /** Band key "band:sig0:sig1:sig2:sig3" over the s0..s63 columns. */
+  private def duckBandExpr(band: Int): String = {
+    val rows = (0 until graft.ops.Minhash.RowsPerBand)
+      .map(r => s"s${band * graft.ops.Minhash.RowsPerBand + r}")
+    s"concat_ws(':', '$band', ${rows.mkString(", ")})"
+  }
 
   private def coreOracles: Map[String, String] = Map(
     "q_doc_token_stats" ->
@@ -369,26 +397,22 @@ object SparkEntry {
 
     "q_minhash_sigs" ->
       s"""WITH toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents),
-          sh AS (SELECT doc_id, ${Sql.shinglesDuck("tk")} AS sh FROM toks)
-          SELECT doc_id,
-            coalesce(list_min(list_transform(sh, s -> md5('0:' || s))), '') AS sig0,
-            coalesce(list_min(list_transform(sh, s -> md5('1:' || s))), '') AS sig1,
-            coalesce(list_min(list_transform(sh, s -> md5('2:' || s))), '') AS sig2,
-            coalesce(list_min(list_transform(sh, s -> md5('3:' || s))), '') AS sig3
-          FROM sh ORDER BY doc_id""",
+          hs AS (SELECT doc_id, ${Sql.shingleHashDuck(Sql.shinglesDuck("tk"))} AS hs FROM toks)
+          SELECT doc_id, ${duckSigExpr(0)} AS sig0, ${duckSigExpr(1)} AS sig1,
+                 ${duckSigExpr(31)} AS sig31, ${duckSigExpr(63)} AS sig63,
+                 ${(0 until graft.ops.Minhash.NumPerms).map(duckSigExpr).mkString("(", " + ", ")")} AS sig_sum
+          FROM hs ORDER BY doc_id""",
 
     "q_lsh_pairs" ->
       s"""WITH toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents),
-          sh AS (SELECT doc_id, ${Sql.shinglesDuck("tk")} AS sh FROM toks WHERE len(tk) >= 3),
-          sig AS (SELECT doc_id,
-            md5(concat(list_min(list_transform(sh, s -> md5('0:' || s))),
-                       list_min(list_transform(sh, s -> md5('1:' || s))))) AS b0,
-            md5(concat(list_min(list_transform(sh, s -> md5('2:' || s))),
-                       list_min(list_transform(sh, s -> md5('3:' || s))))) AS b1
-            FROM sh WHERE len(sh) > 0),
-          bands AS (SELECT doc_id, band FROM (
-              SELECT doc_id, b0 AS band FROM sig
-              UNION ALL SELECT doc_id, b1 AS band FROM sig)),
+          hs AS (SELECT doc_id, ${Sql.shingleHashDuck(Sql.shinglesDuck("tk"))} AS hs FROM toks
+                 WHERE len(tk) >= 3),
+          sigs AS (SELECT doc_id,
+                     ${(0 until graft.ops.Minhash.NumPerms)
+                        .map(i => s"${duckSigExpr(i)} AS s$i").mkString(", ")}
+                   FROM hs WHERE len(hs) > 0),
+          bands AS (SELECT doc_id, unnest([${(0 until graft.ops.Minhash.NumBands)
+                      .map(duckBandExpr).mkString(", ")}]) AS band FROM sigs),
           ok AS (SELECT band FROM bands GROUP BY band
                  HAVING count(*) BETWEEN 2 AND 50),
           small_bands AS (SELECT b.doc_id, b.band FROM bands b
@@ -465,7 +489,7 @@ object SparkEntry {
                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                FROM events),
           m AS (SELECT user_id,
-                 CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                 CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
                       THEN 1 ELSE 0 END AS new_s FROM e)
           SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
           FROM m GROUP BY user_id ORDER BY user_id""",

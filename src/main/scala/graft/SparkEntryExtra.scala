@@ -66,7 +66,7 @@ private[graft] object SparkEntryExtra {
 
     // --- scoring bonuses (§2.4), SQL-native ---
     "q_pattern_bonus" -> sqlQuery(Seq("documents"),
-      s"""SELECT doc_id, round(0.05 * (${Patterns.map(p =>
+      s"""SELECT doc_id, round(CAST(0.05 AS DOUBLE) * (${Patterns.map(p =>
              s"CAST(contains(lower(text), '$p') AS INT)").mkString(" + ")}), 4)
              AS pattern_bonus
           FROM documents ORDER BY doc_id""") _,
@@ -74,12 +74,12 @@ private[graft] object SparkEntryExtra {
     "q_metadata_bonus" -> sqlQuery(Seq("documents"),
       s"""SELECT doc_id, round(
             (CASE WHEN startswith(tl, 'abstract') OR contains(substr(tl, 1, 50), 'abstract')
-                  THEN 0.15 ELSE 0.0 END) +
+                  THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) +
             (CASE WHEN contains(substr(tl, 1, 60), 'result')
                     OR contains(substr(tl, 1, 60), 'conclusion')
                     OR contains(substr(tl, 1, 60), 'summary')
                     OR contains(substr(tl, 1, 60), 'discussion')
-                  THEN 0.1 ELSE 0.0 END), 4) AS metadata_bonus
+                  THEN CAST(0.1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4) AS metadata_bonus
           FROM (SELECT doc_id, trim(lower(text)) AS tl FROM documents)
           ORDER BY doc_id""") _,
 
@@ -210,7 +210,7 @@ private[graft] object SparkEntryExtra {
 
   def extraOracles: Map[String, String] = Map(
     "q_pattern_bonus" ->
-      s"""SELECT doc_id, round(0.05 * (${Patterns.map(p =>
+      s"""SELECT doc_id, round(CAST(0.05 AS DOUBLE) * (${Patterns.map(p =>
              s"CAST(contains(lower(text), '$p') AS INT)").mkString(" + ")}), 4)
              AS pattern_bonus
           FROM documents ORDER BY doc_id""",
@@ -218,12 +218,12 @@ private[graft] object SparkEntryExtra {
     "q_metadata_bonus" ->
       s"""SELECT doc_id, round(
             (CASE WHEN starts_with(tl, 'abstract') OR contains(substr(tl, 1, 50), 'abstract')
-                  THEN 0.15 ELSE 0.0 END) +
+                  THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) +
             (CASE WHEN contains(substr(tl, 1, 60), 'result')
                     OR contains(substr(tl, 1, 60), 'conclusion')
                     OR contains(substr(tl, 1, 60), 'summary')
                     OR contains(substr(tl, 1, 60), 'discussion')
-                  THEN 0.1 ELSE 0.0 END), 4) AS metadata_bonus
+                  THEN CAST(0.1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4) AS metadata_bonus
           FROM (SELECT doc_id, trim(lower(text)) AS tl FROM documents)
           ORDER BY doc_id""",
 

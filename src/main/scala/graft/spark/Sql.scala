@@ -33,6 +33,15 @@ object Sql {
     s"CASE WHEN len($toks) >= 3 THEN list_transform(range(1, len($toks) - 1), " +
       s"i -> array_to_string(list_slice($toks, i, i + 2), ' ')) ELSE [] END"
 
+  /** 32-bit integer shingle hashes: md5's 8-hex-char prefix as an int —
+    * ONE digest per shingle; the minhash permutations on top are pure
+    * arithmetic (see graft.ops.Minhash).
+    */
+  def shingleHashSpark(sh: String): String =
+    s"transform($sh, s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
+  def shingleHashDuck(sh: String): String =
+    s"list_transform($sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
+
   /** Dedup-normalized text (reference io_pdf.py:1230, ASCII form). */
   def dedupNormSpark(col: String): String =
     s"regexp_replace(lower($col), '[^a-z0-9_]', '')"
