@@ -39,7 +39,6 @@ case class BuildConfig(
 
 case class IndexPaths(root: String) {
   def chunks = s"$root/chunks"
-  def postings = s"$root/postings"
   def blocks = s"$root/blocks"
   def termStats = s"$root/term_stats"
   def globalStats = s"$root/global_stats"
@@ -55,15 +54,19 @@ case class PartitionMetric(phase: String, partitionId: Int, rows: Long,
   *
   * Shuffle design, stated explicitly for the 1000-executor case:
   *  - tf computation is task-local (per-chunk hash map in `mapPartitions`),
-  *    so the only wide exchange before stats is the (term-bucket, doc-shard)
-  *    repartition for block assembly;
+  *    and the ONLY wide exchange of posting-grain data is the
+  *    (term-bucket, doc-shard) repartition feeding block assembly — the
+  *    compressed `blocks` table is built in the same pass that consumes the
+  *    sorted shuffle, with no intermediate raw-postings materialization;
   *  - `bucket = hash(term) % nTermBuckets` is the physical partition column
-  *    of both `postings` and `term_stats` → query-term lookups prune
+  *    of both `blocks` and `term_stats` → query-term lookups prune
   *    partitions at the parquet source;
   *  - `shard = hash(chunkId) % nDocShards` salts head terms: a term with a
   *    10^11-row posting list lands on nDocShards reducers, never one;
-  *  - df/avgdl aggregations rely on map-side partial aggregation (no skew:
-  *    per-(term) partials shrink to one row each).
+  *  - df/idf statistics aggregate the block-grain table (a few rows per
+  *    (term, shard), never posting-grain), so the stats shuffle is
+  *    vocabulary-sized; N/avgdl come from a narrow column scan of the
+  *    chunk table's denormalized `dl`.
   */
 object IndexBuilder {
 
@@ -118,56 +121,32 @@ object IndexBuilder {
     val metaUdf = udf((text: String, title: String) =>
       graft.analysis.Scoring.metadataBonus(text, Option(title)))
     val gibUdf = udf((text: String) => graft.analysis.Scoring.gibberishPenalty(text))
+    val dlUdf = udf((text: String) => Analyzer.tokenize(text).length)
     chunks.toDF()
       .withColumn("pattern_b", patternUdf(col("text")))
       .withColumn("meta_b", metaUdf(col("text"), col("meta.title")))
       .withColumn("gib", gibUdf(col("text")))
+      .withColumn("dl", dlUdf(col("text")))
       .write.mode(SaveMode.Overwrite).parquet(out.chunks)
     val chunksDF = spark.read.parquet(out.chunks).as[ChunkRow]
 
-    val nDocs = chunksDF.count()
+    // N / avgdl from the denormalized doc-length column — a narrow
+    // column-pruned scan, available before the posting exchange so block
+    // maxima can be finalized in the same pass.
+    val lenRow = chunksDF.toDF().agg(count(lit(1)), sum("dl")).head()
+    val nDocs = lenRow.getLong(0)
     require(nDocs > 0, "empty corpus")
+    val totalTokens = lenRow.getLong(1)
+    val avgdl = totalTokens.toDouble / nDocs
     phase("chunks")
 
-    // One shuffle clusters each term-hash bucket into a single task, so the
-    // dynamic-partition write emits exactly one file per bucket (vs
-    // tasks×buckets small files) and rows arrive term-sorted — parquet
-    // row-group stats then skip within a bucket on the pushed term filter.
-    val post = postings(chunksDF)
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(cfg.nTermBuckets)).cast("int"))
-      .repartition(cfg.nTermBuckets, col("bucket"))
-      .sortWithinPartitions("bucket", "term", "chunkId")
-    post.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.postings)
-    val postDF = spark.read.parquet(out.postings)
-    phase("postings")
-
-    // ---- statistics (broadcast source) ----
-    // single pass: per-(term,bucket) df + tf sums; global totals from the
-    // tiny per-term table (map-side partial aggregation kills skew)
-    val dfTable = postDF.groupBy("term", "bucket")
-      .agg(count(lit(1)).as("df"), sum("tf").as("tf_sum"))
-      .withColumn("raw_idf",
-        log(lit(nDocs.toDouble) - col("df") + 0.5) - log(col("df") + 0.5))
-    dfTable.persist()
-    val totalsRow = dfTable.agg(count(lit(1)), avg("raw_idf"), sum("tf_sum")).head()
-    val vocabSize = totalsRow.getLong(0)
-    val avgRawIdf = totalsRow.getDouble(1)
-    val totalTokens = totalsRow.getLong(2)
-    val avgdl = totalTokens.toDouble / nDocs
-    val eps = cfg.epsilon * avgRawIdf
-    dfTable
-      .withColumn("idf", when(col("raw_idf") < 0, lit(eps)).otherwise(col("raw_idf")))
-      .select("term", "df", "idf", "bucket")
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.termStats)
-    dfTable.unpersist()
-    phase("stats")
-
-    // ---- compressed block build (salted repartition) ----
+    // ---- compressed block build: the single posting-grain exchange ----
     val metricsAcc: CollectionAccumulator[PartitionMetric] =
       spark.sparkContext.collectionAccumulator[PartitionMetric]("block-build")
     val k1 = cfg.k1; val b = cfg.b; val blockSize = cfg.blockSize
     val nShards = cfg.nDocShards
-    val withShard = postDF
+    val withShard = postings(chunksDF)
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(cfg.nTermBuckets)).cast("int"))
       .withColumn("shard", pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int"))
       .repartition(cfg.shufflePartitions, col("bucket"), col("shard"))
       .sortWithinPartitions("bucket", "shard", "term", "chunkId")
@@ -211,6 +190,25 @@ object IndexBuilder {
     }
     blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.blocks)
     phase("blocks")
+
+    // ---- statistics (broadcast source) ----
+    // df/idf from the block-grain table: a few rows per (term, shard), so
+    // this shuffle is vocabulary-sized, never posting-sized.
+    val dfTable = spark.read.parquet(out.blocks)
+      .groupBy("term", "bucket").agg(sum("n").as("df"))
+      .withColumn("raw_idf",
+        log(lit(nDocs.toDouble) - col("df") + 0.5) - log(col("df") + 0.5))
+    dfTable.persist()
+    val totalsRow = dfTable.agg(count(lit(1)), avg("raw_idf")).head()
+    val vocabSize = totalsRow.getLong(0)
+    val avgRawIdf = totalsRow.getDouble(1)
+    val eps = cfg.epsilon * avgRawIdf
+    dfTable
+      .withColumn("idf", when(col("raw_idf") < 0, lit(eps)).otherwise(col("raw_idf")))
+      .select("term", "df", "idf", "bucket")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.termStats)
+    dfTable.unpersist()
+    phase("stats")
 
     val wallMs = (System.nanoTime() - t0) / 1000000
     val metrics = metricsAcc.value

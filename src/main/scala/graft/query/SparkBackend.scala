@@ -35,7 +35,7 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
   private val chunksRawDF = spark.read.parquet(paths.chunks)
     .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   private val chunksDS = chunksRawDF.as[ChunkRow]
-  private val postingsDF = spark.read.parquet(paths.postings)
+  private val blocksDF = spark.read.parquet(paths.blocks)
   private val termStatsDF = spark.read.parquet(paths.termStats)
   private val idfCache = scala.collection.mutable.HashMap.empty[String, Double]
 
@@ -77,9 +77,22 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
     val orderedSum = qRows.map { case (_, pos, _) =>
       coalesce(col(s"c$pos"), lit(0.0))
     }.reduceLeft(_ + _)
-    postingsDF
+    // posting rows decoded on the fly from the compressed blocks table —
+    // the scan is pruned to the query terms' bucket partitions and the term
+    // filter is pushed to parquet; only matching blocks are ever read.
+    val flat = blocksDF
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(qRows.map(_._1).distinct: _*))
+      .select("term", "n", "docs", "tfs", "dls")
+      .as[(String, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .flatMap { case (term, n, docs, tfs, dls) =>
+        val ids = graft.index.Codec.vbyteDecode(docs, n, deltas = true)
+        val f = graft.index.Codec.vbyteDecode(tfs, n, deltas = false)
+        val d = graft.index.Codec.vbyteDecode(dls, n, deltas = false)
+        (0 until n).iterator.map(i => (term, ids(i), f(i), d(i)))
+      }
+      .toDF("term", "chunkId", "tf", "dl")
+    flat
       .join(broadcast(q), "term")
       .withColumn("contrib",
         col("idf") * col("tf") * lit(k1 + 1) /

@@ -118,7 +118,8 @@ class SparkIndexParitySpec extends AnyFunSuite {
     val blockBytes = spark.read.parquet(paths.blocks)
       .agg(sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))))
       .head().getLong(0)
-    val nPostings = spark.read.parquet(paths.postings).count()
+    val nPostings = spark.read.parquet(paths.blocks)
+      .agg(sum(col("n"))).head().getLong(0)
     // raw postings are (8B id + 4B tf + 4B dl) = 16B
     assert(blockBytes < nPostings * 16, s"$blockBytes bytes for $nPostings postings")
   }
