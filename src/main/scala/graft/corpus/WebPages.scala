@@ -10,6 +10,10 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object WebPages {
 
+  /** Topic head words — every frozen bench query draws from these; they are
+    * interleaved into the Zipf rank order below so queries span floored-idf
+    * head terms through selective mid-tail terms.
+    */
   val Vocab: Array[String] = (
     "retrieval index spark shuffle partition engine ranking corpus token " +
     "stopword analyzer document query search score fusion window sentence " +
@@ -17,7 +21,38 @@ object WebPages {
     "crawl web page html parser extract nobel prize physics quantum theory " +
     "climate model ocean temperature satellite measurement experiment " +
     "latency throughput executor broadcast salting skew checkpoint lineage " +
-    "compression posting block wand scoring bonus proximity pattern").split(" ")
+    "compression posting block wand scoring bonus proximity pattern " +
+    "machine learning algorithms optimization descent mechanisms build networks").split(" ")
+
+  /** Total vocabulary: topic words at Zipf ranks 8, 11, 14, … (df from ~90%
+    * down to ~5% of docs), synthetic `termN` filler elsewhere. Real web text
+    * is Zipfian — a uniform tiny vocabulary floors every idf and collapses
+    * the score distribution, which hides exactly the skew/pruning behavior
+    * a 100 TB index build and WAND top-k must be designed around.
+    */
+  val VocabSize = 50000
+  private val TopicRankStart = 8
+  private val TopicRankStep = 3
+
+  def wordAt(rank: Int): String = {
+    val t = rank - TopicRankStart
+    if (t >= 0 && t % TopicRankStep == 0 && t / TopicRankStep < Vocab.length)
+      Vocab(t / TopicRankStep)
+    else {
+      // letters-only filler (digits would trip the reference's
+      // mixed-alphanumeric gibberish heuristic and zero every score)
+      val sb = new StringBuilder("zu")
+      var r = rank
+      while (r > 0) { sb.append(('a' + r % 26).toChar); r /= 26 }
+      sb.toString
+    }
+  }
+
+  private val LnV = math.log(VocabSize.toDouble)
+
+  /** Zipf(s=1) rank in [1, VocabSize]: P(rank <= r) = ln r / ln V. */
+  private def zipfRank(u: Double): Int =
+    math.min(VocabSize, math.max(1, math.exp(u * LnV).toInt))
 
   private val Langs = Array("en", "en", "en", "en", "en", "en", "de", "es", "fr", "zh")
 
@@ -30,7 +65,7 @@ object WebPages {
     if (rng.nextDouble() < 0.25) sb.append("Abstract ")
     var j = 0
     while (j < n) {
-      val w = Vocab(rng.nextInt(Vocab.length))
+      val w = wordAt(zipfRank(rng.nextDouble()))
       sb.append(w)
       val r = rng.nextDouble()
       if (r < 0.02) sb.append("\u00ad") // soft hyphen inside flow

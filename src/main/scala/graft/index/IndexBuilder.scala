@@ -22,6 +22,9 @@ case class BlockRow(bucket: Int, shard: Int, term: String, blockId: Int, n: Int,
 
 case class GlobalStats(nDocs: Long, totalTokens: Long, avgdl: Double,
                        vocabSize: Long, avgRawIdf: Double, eps: Double,
+                       /** corpus max of (pattern_b + meta_b) — tightens the
+                         * bounded-pool additive-bonus ceiling per corpus */
+                       maxStaticBonus: Double,
                        k1: Double, b: Double, nTermBuckets: Int,
                        configHash: String, snapshotId: String)
 
@@ -133,10 +136,12 @@ object IndexBuilder {
     // N / avgdl from the denormalized doc-length column — a narrow
     // column-pruned scan, available before the posting exchange so block
     // maxima can be finalized in the same pass.
-    val lenRow = chunksDF.toDF().agg(count(lit(1)), sum("dl")).head()
+    val lenRow = chunksDF.toDF()
+      .agg(count(lit(1)), sum("dl"), max(col("pattern_b") + col("meta_b"))).head()
     val nDocs = lenRow.getLong(0)
     require(nDocs > 0, "empty corpus")
     val totalTokens = lenRow.getLong(1)
+    val maxStaticBonus = lenRow.getDouble(2)
     val avgdl = totalTokens.toDouble / nDocs
     phase("chunks")
 
@@ -219,7 +224,7 @@ object IndexBuilder {
 
     val snapshotId = Analyzer.md5Hex(s"$nDocs|$totalTokens|${cfg.configHash}")
     val stats = GlobalStats(nDocs, totalTokens, avgdl, vocabSize, avgRawIdf, eps,
-      cfg.k1, cfg.b, cfg.nTermBuckets, cfg.configHash, snapshotId)
+      maxStaticBonus, cfg.k1, cfg.b, cfg.nTermBuckets, cfg.configHash, snapshotId)
     Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(out.globalStats)
     TableIO.writeManifest(out.manifest, Map(
       "snapshot_id" -> snapshotId, "n_docs" -> nDocs.toString,

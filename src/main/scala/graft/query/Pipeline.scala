@@ -41,7 +41,13 @@ case class PipelineConfig(
     includeScores: Boolean = true,
     includePandoc: Boolean = true,
     pandocPrimary: Boolean = true,
-    deterministicSort: Boolean = true)
+    deterministicSort: Boolean = true,
+    /** force the reference-exact dense bonus pass over every chunk instead
+      * of the rank-safe bounded WAND-superset pool (SURVEY §7.4); the
+      * bounded path falls back to dense automatically whenever its safety
+      * bound cannot be proven, so this is a test/debug escape hatch.
+      */
+    densePoolOnly: Boolean = false)
 
 /** Abstraction over where the heavy scans run. The distributed engine
   * implements this with Spark jobs (full-corpus scoring + TakeOrdered pool,

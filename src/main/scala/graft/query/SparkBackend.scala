@@ -102,7 +102,18 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
       .select(col("chunkId"), orderedSum.as("score"))
   }
 
-  /** Dense bonused scores + distributed top-pool. */
+  /** Top-pool by bonused score. Default path: rank-safe bounded pool —
+    * WAND top-M superset by base BM25, exact re-score + bonuses on the M
+    * candidates only (SURVEY §7.4). The additive bonus total is provably
+    * bounded (see maxBonus; the gibberish multiplier only lowers scores),
+    * so whenever
+    *   minBase(candidates) + Bmax < theta   (theta = P-th candidate bscore)
+    * no excluded chunk can reach the pool and the bounded result equals the
+    * dense one. Falls back to the reference-exact dense pass over all
+    * chunks when the bound cannot be proven (tiny corpora, weak queries) —
+    * so golden parity is untouched while head-term queries at 10^12 scale
+    * never broadcast a corpus-sized score vector.
+    */
   override def topPool(query: String, bm25Query: String, poolSize: Int,
                        cfg: PipelineConfig): IndexedSeq[(ChunkRow, Double)] = {
     val qTokens = Analyzer.tokenize(query).toIndexedSeq
@@ -110,6 +121,81 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
       if (bm25Query == query) qTokens else Analyzer.tokenize(bm25Query).toIndexedSeq
     val ctx = new Scoring.QueryBonusContext(query, qTokens, cfg.proxWindow,
       cfg.proxLambda, cfg.ngramLambda)
+    if (!cfg.densePoolOnly) {
+      boundedPool(ctx, query, bm25Query, bmTokens, poolSize, cfg) match {
+        case Some(pool) => lastPoolPath = "bounded"; return pool
+        case None       => () // bound not provable -> dense fallback
+      }
+    }
+    lastPoolPath = "dense"
+    densePool(ctx, bmTokens, poolSize)
+  }
+
+  /** Diagnostics: which path served the last topPool call. */
+  @volatile var lastPoolPath: String = ""
+
+  /** Max possible additive bonus for one chunk of THIS corpus under THIS
+    * query (see topPool scaladoc): query-dependent bonuses at their
+    * analytic ceilings, chunk-static pattern+metadata at the corpus maximum
+    * recorded at build time, and the 2.0-weighted fuzzy term only when the
+    * query is long enough to activate it (scoring.py:197 min_length).
+    */
+  private def maxBonus(query: String, cfg: PipelineConfig): Double =
+    cfg.proxLambda + cfg.ngramLambda + stats.maxStaticBonus +
+      (if (query != null && query.length >= 20) 2.0 else 0.0)
+
+  private def boundedPool(ctx: Scoring.QueryBonusContext, query: String,
+                          bm25Query: String,
+                          bmTokens: IndexedSeq[String], poolSize: Int,
+                          cfg: PipelineConfig): Option[IndexedSeq[(ChunkRow, Double)]] = {
+    val bMax = maxBonus(query, cfg)
+    // float-noise slack: WAND's per-doc sum can differ from the exact
+    // sequential base by ~ulps for repeated query tokens
+    val slack = 1e-6
+    var m = math.max(4 * poolSize, poolSize + 200)
+    val mCap = 64 * poolSize
+    while (m <= mCap) {
+      val cand = Wand.topK(spark, paths, stats, bm25Query, m, idfFor)
+      if (cand.isEmpty) return None
+      val exhausted = cand.length < m // all matched docs are candidates
+      val wandMinBase = cand.iterator.map(_._2).min
+      val rows = fetchChunks(cand.map(_._1))
+      val exactBase = bm25ScoresFor(bmTokens, rows.map(_._1))
+      val scored = rows.map { case (c, (pb, mb, gib)) =>
+        (c, ctx.score(exactBase.getOrElse(c.chunkId, 0.0), c.text, pb, mb, gib))
+      }.sortBy { case (c, s) => (-s, c.source, c.page, c.chunkIdx) }
+      if (scored.length >= poolSize) {
+        val theta = scored(poolSize - 1)._2
+        val excludedUpper = (if (exhausted) 0.0 else wandMinBase) + bMax + slack
+        if (excludedUpper < theta) return Some(scored.take(poolSize).toIndexedSeq)
+      }
+      m *= 4
+    }
+    None
+  }
+
+  /** Candidate rows + their precomputed static bonuses (pattern, meta, gib)
+    * from the cached chunk table.
+    */
+  private def fetchChunks(ids: Seq[Long])
+      : IndexedSeq[(ChunkRow, (Double, Double, Double))] = {
+    chunksRawDF
+      .filter(col("chunkId").isin(ids: _*))
+      .select(col("chunkId"), col("docId"), col("source"), col("page"),
+        col("chunkIdx"), col("text"), col("meta"),
+        col("pattern_b"), col("meta_b"), col("gib"))
+      .as[(Long, Long, String, Int, Int, String, graft.corpus.ChunkMeta,
+           Double, Double, Double)]
+      .collect()
+      .map { case (id, docId, source, page, idx, text, meta, pb, mb, gib) =>
+        (ChunkRow(id, docId, source, page, idx, text, meta), (pb, mb, gib))
+      }.toIndexedSeq
+  }
+
+  /** Reference-exact dense pass: bonuses on every chunk, distributed top-k. */
+  private def densePool(ctx: Scoring.QueryBonusContext,
+                        bmTokens: IndexedSeq[String],
+                        poolSize: Int): IndexedSeq[(ChunkRow, Double)] = {
     val bonusUdf = udf { (base: Double, text: String, patternB: Double,
                           metaB: Double, gib: Double) =>
       ctx.score(base, text, patternB, metaB, gib)
@@ -117,9 +203,8 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
     // Broadcast the (chunkId, score) side: the chunk table (with its text
     // payload) then never moves — the bonus pass runs on the cached
     // partitions in place. Sparse scores are ~16B/doc; up to ~50M matched
-    // docs this beats reshuffling the corpus. Beyond that (head-term
-    // queries at 10^12 scale) serve top-k via WAND instead of the dense
-    // reference-exact path.
+    // docs this beats reshuffling the corpus. Beyond that the bounded
+    // WAND-superset path above serves the query.
     val scored = chunksRawDF
       .join(broadcast(scoresDF(bmTokens)), Seq("chunkId"), "left")
       .na.fill(0.0, Seq("score"))
