@@ -216,15 +216,21 @@ object SparkEntry {
     "q_lsh_pairs" -> ((spark: SparkSession, dir: String) => {
       views(spark, dir, "documents")
       registerMinhashUdfs(spark)
-      // Spark does not materialize CTEs — the minhash stage would re-run
-      // for every self-join branch; checkpoint it once (the oracle's
-      // DuckDB CTEs materialize natively).
+      // Materialize the shingle-hash arrays BEFORE the minhash UDF touches
+      // them: a Scala UDF drops the stage out of whole-stage codegen, and in
+      // interpreted mode the tokenizer/shingle expression tree re-evaluates
+      // per reference — a ~7x slowdown measured at sf0.1. The checkpoint
+      // also stops the self-join from re-running the stage per branch (the
+      // DuckDB oracle's CTEs materialize natively).
       spark.sql(
         s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents
-                          WHERE size(${Sql.tokensSpark("text")}) >= 3),
-            hs AS (SELECT doc_id, ${Sql.shingleHashSpark(Sql.shinglesSpark("tk"))} AS hs FROM toks)
-            SELECT doc_id, explode(graft_minhash_bands(hs)) AS band
-            FROM hs WHERE size(hs) > 0""")
+                          WHERE size(${Sql.tokensSpark("text")}) >= 3)
+            SELECT doc_id, ${Sql.shingleHashSpark(Sql.shinglesSpark("tk"))} AS hs FROM toks""")
+        .localCheckpoint(true)
+        .createOrReplaceTempView("graft_lsh_hs")
+      spark.sql(
+        """SELECT doc_id, explode(graft_minhash_bands(hs)) AS band
+           FROM graft_lsh_hs WHERE size(hs) > 0""")
         .localCheckpoint(true)
         .createOrReplaceTempView("graft_lsh_bands")
       spark.sql(

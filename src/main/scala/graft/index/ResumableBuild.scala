@@ -31,8 +31,42 @@ object ResumableBuild {
 
   def chunksRawDir(out: IndexPaths): String = s"${out.root}/chunks_raw"
 
-  /** Phase 1: chunk per url-bucket with checkpoint skip. Returns buckets
-    * processed this run.
+  /** Chunk the given (not-yet-done) url-buckets in ONE pass: bucket filter →
+    * chunk → dynamic-partition write, so the input is scanned once however
+    * many buckets are pending (the per-bucket sequential loop re-read the
+    * whole input per bucket — 16× read amplification, the dominant build
+    * cost at 100 TB). Completed buckets' directories are never touched
+    * (partitionOverwriteMode=dynamic); checkpoints are appended only after
+    * the write commits, so a crash mid-write simply re-runs these buckets.
+    */
+  private def chunkBuckets(spark: SparkSession, pages: Dataset[PageDoc],
+                           out: IndexPaths, chunker: ChunkerConfig,
+                           nBuckets: Int, buckets: Seq[Int],
+                           extraCheckpointFields: Map[String, String]): Unit = {
+    if (buckets.isEmpty) return
+    val cfgHash = chunkerHash(chunker)
+    val t0 = System.nanoTime()
+    val bucketCol = pmod(xxhash64(col("url")), lit(nBuckets)).cast("int")
+    val pending = pages.filter(bucketCol.isin(buckets: _*))
+    ChunkerJob.chunk(pending, chunker)
+      .withColumn("bucket", pmod(xxhash64(col("source")), lit(nBuckets)).cast("int"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(chunksRawDir(out))
+    val counts = spark.read.parquet(chunksRawDir(out))
+      .filter(col("bucket").isin(buckets: _*))
+      .groupBy("bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wallMs = ((System.nanoTime() - t0) / 1000000).toString
+    for (b <- buckets.sorted) {
+      TableIO.appendCheckpoint(out.checkpoints, Map(
+        "bucket" -> b.toString, "rows" -> counts.getOrElse(b, 0L).toString,
+        "config_hash" -> cfgHash, "wall_ms" -> wallMs) ++ extraCheckpointFields)
+    }
+  }
+
+  /** Phase 1: chunk pending url-buckets (checkpointed ones are skipped).
+    * Returns buckets processed this run.
     */
   def chunkPhase(spark: SparkSession, pages: Dataset[PageDoc], out: IndexPaths,
                  chunker: ChunkerConfig, resume: ResumeConfig): Seq[Int] = {
@@ -46,32 +80,14 @@ object ResumableBuild {
     val done = (if (valid.size == existing.size) valid else Nil)
       .flatMap(_.get("bucket")).map(_.toInt).toSet
 
-    val processed = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var aborted = false
-    for (b <- 0 until resume.nInputBuckets if !aborted) {
-      if (!done.contains(b)) {
-        if (resume.failAfterBuckets >= 0 && processed.length >= resume.failAfterBuckets) {
-          aborted = true
-        } else {
-          val t0 = System.nanoTime()
-          val bucketPages = pages.filter(
-            pmod(xxhash64(col("url")), lit(resume.nInputBuckets)) === b)
-          val chunks = ChunkerJob.chunk(bucketPages, chunker)
-          chunks.write.mode(SaveMode.Overwrite)
-            .parquet(s"${chunksRawDir(out)}/bucket=$b")
-          val n = spark.read.parquet(s"${chunksRawDir(out)}/bucket=$b").count()
-          TableIO.appendCheckpoint(out.checkpoints, Map(
-            "bucket" -> b.toString, "rows" -> n.toString,
-            "config_hash" -> cfgHash,
-            "wall_ms" -> ((System.nanoTime() - t0) / 1000000).toString))
-          processed += b
-        }
-      }
-    }
-    if (aborted)
+    val missing = (0 until resume.nInputBuckets).filterNot(done.contains)
+    val abort = resume.failAfterBuckets >= 0 && missing.length > resume.failAfterBuckets
+    val toProcess = if (abort) missing.take(resume.failAfterBuckets) else missing
+    chunkBuckets(spark, pages, out, chunker, resume.nInputBuckets, toProcess, Map.empty)
+    if (abort)
       throw new RuntimeException(
-        s"aborted after ${processed.length} buckets (test hook)")
-    processed.toSeq
+        s"aborted after ${toProcess.length} buckets (test hook)")
+    toProcess
   }
 
   /** Phase 2: merge chunk buckets (global dedup across buckets) + build
@@ -101,21 +117,31 @@ object ResumableBuild {
     indexPhase(spark, out, build, resume)
   }
 
+  def urlManifestPath(out: IndexPaths): String = s"${out.root}/url_manifest"
+
+  /** Record the (url, warc_ts) snapshot the index was built from — the
+    * analog of the reference manifest's per-file mtime+size
+    * (index.py:90-117); detectChanged diffs the next crawl against it.
+    */
+  def writeUrlManifest(pages: DataFrame, out: IndexPaths): Unit =
+    pages.groupBy("url").agg(max("warc_ts").as("warc_ts"))
+      .write.mode(SaveMode.Overwrite).parquet(urlManifestPath(out))
+
   /** Changed-url detection (reference detect_changed_files,
-    * index.py:328-391): anti-joins of (url, warc_ts) between the incoming
-    * snapshot and the indexed corpus. Returns (new, changed, removed) urls.
+    * index.py:328-391): diff of (url, warc_ts) between the incoming crawl
+    * and the indexed manifest. Returns (new, changed, removed) url frames —
+    * `changed` = urls present in both whose incoming warc_ts is strictly
+    * newer (a re-crawl of the same url).
     */
   def detectChanged(spark: SparkSession, pages: DataFrame,
-                    indexedChunks: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val current = pages.select(col("url"), col("warc_ts"))
-    val indexed = indexedChunks.select(col("source").as("url")).distinct()
-    val newUrls = current.join(indexed, Seq("url"), "left_anti").select("url").distinct()
-    // warc_ts is not retained in chunks; a changed url is one whose text
-    // hash differs — callers carrying a prior manifest of (url, text_sha)
-    // should use detectChangedByHash. Here: changed = in both, newer ts
-    // unknown -> empty frame placeholder of same schema.
-    val changed = newUrls.limit(0)
-    val removed = indexed.join(current.select("url").distinct(), Seq("url"), "left_anti")
+                    indexedManifest: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val current = pages.groupBy("url").agg(max("warc_ts").as("warc_ts"))
+    val indexed = indexedManifest.select(col("url"), col("warc_ts").as("indexed_ts"))
+    val newUrls = current.join(indexed, Seq("url"), "left_anti").select("url")
+    val changed = current.join(indexed, Seq("url"))
+      .filter(col("warc_ts") > col("indexed_ts"))
+      .select("url")
+    val removed = indexed.join(current, Seq("url"), "left_anti").select("url")
     (newUrls, changed, removed)
   }
 
@@ -147,19 +173,13 @@ object ResumableBuild {
                         build: BuildConfig, chunker: ChunkerConfig,
                         resume: ResumeConfig): GlobalStats = {
     import spark.implicits._
+    val urlCol = // hash-path frames carry `source`, ts-path frames carry `url`
+      if (changedUrls.columns.contains("url")) col("url") else col("source")
     val buckets = changedUrls
-      .select(pmod(xxhash64(col("source")), lit(resume.nInputBuckets)).cast("int").as("b"))
+      .select(pmod(xxhash64(urlCol), lit(resume.nInputBuckets)).cast("int").as("b"))
       .distinct().as[Int].collect().toSeq
-    val cfgHash = chunkerHash(chunker)
-    for (b <- buckets.sorted) {
-      val bucketPages = pages.filter(
-        pmod(xxhash64(col("url")), lit(resume.nInputBuckets)) === b)
-      ChunkerJob.chunk(bucketPages, chunker)
-        .write.mode(SaveMode.Overwrite).parquet(s"${chunksRawDir(out)}/bucket=$b")
-      TableIO.appendCheckpoint(out.checkpoints, Map(
-        "bucket" -> b.toString, "config_hash" -> cfgHash,
-        "incremental" -> "true"))
-    }
+    chunkBuckets(spark, pages, out, chunker, resume.nInputBuckets, buckets,
+      Map("incremental" -> "true"))
     indexPhase(spark, out, build, resume)
   }
 }

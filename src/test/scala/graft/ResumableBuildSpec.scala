@@ -63,6 +63,43 @@ class ResumableBuildSpec extends AnyFunSuite {
     assert(processed.size == resume.nInputBuckets)
   }
 
+  test("warc_ts changed-detection: a re-crawled url triggers exactly its bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    val out = IndexPaths(dir)
+    val crawlA = WebPages.generate(spark, 150, seed = 42, partitions = 4)
+    ResumableBuild.run(spark, crawlA.map(p => PageDoc(p.url, 1, p.text, None)),
+      out, build, chunker, resume)
+    ResumableBuild.writeUrlManifest(crawlA.toDF(), out)
+
+    // crawl B: one url re-crawled with a newer warc_ts + new text, one new url
+    val recrawled = crawlA.filter(col("url").endsWith("page03")).limit(1)
+      .collect().head
+    val crawlB = crawlA.map { p =>
+      if (p.url == recrawled.url)
+        p.copy(warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 86400000L),
+          text = p.text + " recrawl sentinel content")
+      else p
+    }.union(spark.createDataset(Seq(WebPages.pageFor(999999L, 7L))))
+
+    val manifest = spark.read.parquet(ResumableBuild.urlManifestPath(out))
+    val (newU, changed, removed) =
+      ResumableBuild.detectChanged(spark, crawlB.toDF(), manifest)
+    assert(changed.collect().map(_.getString(0)).toSeq == Seq(recrawled.url))
+    assert(newU.count() == 1)
+    assert(removed.count() == 0)
+
+    val before = TableIO.readCheckpoints(out.checkpoints).size
+    ResumableBuild.incrementalUpdate(spark,
+      crawlB.map(p => PageDoc(p.url, 1, p.text, None)),
+      changed.union(newU), out, build, chunker, resume)
+    val incr = TableIO.readCheckpoints(out.checkpoints).drop(before)
+    val expectedBuckets = Set(recrawled.url, WebPages.pageFor(999999L, 7L).url)
+      .map(u => graft.index.IndexBuilder.termBucket(u, resume.nInputBuckets))
+    assert(incr.flatMap(_.get("bucket")).map(_.toInt).toSet == expectedBuckets)
+    assert(spark.read.parquet(out.chunks)
+      .filter(col("text").contains("recrawl sentinel")).count() > 0)
+  }
+
   test("incremental update reprocesses only changed urls' buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
     val out = IndexPaths(dir)
