@@ -26,7 +26,24 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // single-JVM local mode hosts driver + all "executors": size the heap so
-  // allocation-heavy analyzer stages don't serialize on GC at 16+ threads
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+  // single-JVM local mode hosts driver + all "executors". Fixed pre-touched
+  // heap: G1 grow/shrink cycles re-fault gigabytes of heap mid-job, and at
+  // 32 threads the page-fault + memcg-charge path becomes the bottleneck
+  // (measured: 50%+ kernel time, 2-5x phase slowdowns). Paying the faults
+  // once at JVM start removes the noise.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("GRAFT_GC_LOG").map(_ => "-Xlog:gc").toSeq
+
+// glibc malloc mmaps/munmaps every large (direct-buffer) allocation by
+// default; at 32 executor threads the per-process mmap_lock serializes and
+// the kernel burns >50% sys in page faults (measured: 10-40s stalls per
+// build). Keep big allocations inside the arenas instead of the mmap path.
+val mallocTuning = Map(
+  "MALLOC_MMAP_THRESHOLD_" -> "268435456",
+  "MALLOC_TRIM_THRESHOLD_" -> "268435456",
+  "MALLOC_ARENA_MAX" -> "8")
+run / envVars ++= mallocTuning
+Test / envVars ++= mallocTuning
+Test / run / envVars ++= mallocTuning

@@ -32,14 +32,35 @@ object GraftCli {
     s
   }
 
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: build|query|wand|stats <indexDir> ...")
+  def main(rawArgs: Array[String]): Unit = {
+    // config precedence: defaults -> --config yaml -> GRAFT_* env -> --flag
+    // overrides (reference load_full_config, config.py:273-289)
+    val (overrides, args0) = graft.config.GraftConfig.parseCliArgs(rawArgs.toSeq)
+    val cfgTree = graft.config.GraftConfig.loadFull(
+      overrides.get("config"), sys.env, overrides - "config")
+    val pipelineCfg = graft.config.GraftConfig.toPipelineConfig(cfgTree)
+    val args = args0.toArray
+    require(args.length >= 2, "usage: build|query|wand|stats|subprocess <indexDir> ...")
     val cmd = args(0)
     val paths = IndexPaths(args(1))
     val spark = session()
     import spark.implicits._
 
     cmd match {
+      case "subprocess" =>
+        // one JSON request on stdin -> one JSON response on stdout
+        val input = scala.io.Source.stdin.mkString
+        val deps = graft.config.Subprocess.Deps(
+          runQuery = (q, cfg) => {
+            val backend = new SparkBackend(spark, paths)
+            Pipeline.searchTopK(backend, q,
+              graft.config.GraftConfig.toPipelineConfig(cfg))
+          },
+          listCollections = graft.config.Subprocess.fsCollections)
+        val (resp, code) = graft.config.Subprocess.handle(input, deps)
+        println(resp)
+        spark.stop()
+        sys.exit(code)
       case "build" =>
         val nPages = if (args.length > 2) args(2).toLong else 10000L
         val seed = if (args.length > 3) args(3).toLong else 42L
@@ -54,7 +75,7 @@ object GraftCli {
       case "query" =>
         val q = args.drop(2).mkString(" ")
         val backend = new SparkBackend(spark, paths)
-        val out = Pipeline.searchTopK(backend, q, PipelineConfig())
+        val out = Pipeline.searchTopK(backend, q, pipelineCfg)
         println(s"[graft] query='$q' confidence=${out.confidence.level}(${out.confidence.score})")
         out.results.foreach(r =>
           println(f"  ${r.score.getOrElse(0.0)}%8.3f ${r.source.file}%-40s ${r.text.take(70)}"))
@@ -64,7 +85,7 @@ object GraftCli {
         //  confidence/count)
         val q = args.drop(2).mkString(" ")
         val backend = new SparkBackend(spark, paths)
-        val out = Pipeline.searchTopK(backend, q, PipelineConfig())
+        val out = Pipeline.searchTopK(backend, q, pipelineCfg)
         def js(s: String): String = "\"" + s.flatMap {
           case '"' => "\\\""
           case '\\' => "\\\\"

@@ -138,9 +138,10 @@ object SparkEntry {
       GROUP BY tf.doc_id)"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ SparkEntryExtra.extraQueries
+    coreQueries ++ SparkEntryExtra.extraQueries ++ SparkEntryTpch.tpchQueries
 
-  def oracleSql: Map[String, String] = coreOracles ++ SparkEntryExtra.extraOracles
+  def oracleSql: Map[String, String] =
+    coreOracles ++ SparkEntryExtra.extraOracles ++ SparkEntryTpch.tpchOracles
 
   /** Exposed for SparkEntryExtra's WAND-vs-SQL oracle. */
   private[graft] def bm25OracleScoreSql: String = bm25ScoreSql("duck")

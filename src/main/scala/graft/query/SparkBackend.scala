@@ -37,23 +37,32 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
   private val chunksDS = chunksRawDF.as[ChunkRow]
   private val blocksDF = spark.read.parquet(paths.blocks)
   private val termStatsDF = spark.read.parquet(paths.termStats)
-  private val idfCache = scala.collection.mutable.HashMap.empty[String, Double]
+  private val idfCache = scala.collection.mutable.HashMap.empty[String, (Double, Long)]
 
-  /** idf lookup for query terms — bucket-pruned scan of term_stats. */
-  def idfFor(terms: Seq[String]): Map[String, Double] = {
+  private def statsFor(terms: Seq[String]): Map[String, (Double, Long)] = {
     val missing = terms.distinct.filterNot(idfCache.contains)
     if (missing.nonEmpty) {
       val buckets = missing.map(IndexBuilder.termBucket(_, nTermBuckets)).distinct
       val found = termStatsDF
         .filter(col("bucket").isin(buckets: _*) && col("term").isin(missing: _*))
-        .select("term", "idf").as[(String, Double)].collect().toMap
-      missing.foreach(t => idfCache(t) = found.getOrElse(t, 0.0))
+        .select("term", "idf", "df").as[(String, Double, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      missing.foreach(t => idfCache(t) = found.getOrElse(t, (0.0, 0L)))
     }
     terms.map(t => t -> idfCache(t)).toMap
   }
 
+  /** idf lookup for query terms — bucket-pruned scan of term_stats. */
+  def idfFor(terms: Seq[String]): Map[String, Double] =
+    statsFor(terms).map { case (t, (idf, _)) => t -> idf }
+
+  /** document frequency per query term (0 for unknown terms). */
+  def dfFor(terms: Seq[String]): Map[String, Long] =
+    statsFor(terms).map { case (t, (_, df)) => t -> df }
+
   def bm25Stats: Bm25Stats =
-    Bm25Stats(stats.nDocs, stats.avgdl, idfCache.toMap, stats.k1, stats.b)
+    Bm25Stats(stats.nDocs, stats.avgdl,
+      idfCache.map { case (t, (idf, _)) => t -> idf }.toMap, stats.k1, stats.b)
 
   /** Sparse per-chunk BM25 scores as a DataFrame(chunkId, score). */
   def scoresDF(queryTokens: Seq[String]): DataFrame = {
@@ -149,6 +158,14 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
                           bmTokens: IndexedSeq[String], poolSize: Int,
                           cfg: PipelineConfig): Option[IndexedSeq[(ChunkRow, Double)]] = {
     val bMax = maxBonus(query, cfg)
+    // Cost-based shortcut: when the query terms' posting lists cover most
+    // of the corpus (head-term queries), WAND has nothing to prune and the
+    // flat score distribution rarely proves the bound — the dense
+    // reference pass IS the cheaper plan. At web scale such queries are
+    // served by WAND top-k directly (Wand.topK), not by the reference's
+    // bonus-over-all-chunks semantics.
+    val dfSum = dfFor(bmTokens.distinct).values.sum
+    if (dfSum > stats.nDocs / 2) return None
     // float-noise slack: WAND's per-doc sum can differ from the exact
     // sequential base by ~ulps for repeated query tokens
     val slack = 1e-6
@@ -161,17 +178,32 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
       val wandMinBase = cand.iterator.map(_._2).min
       val rows = fetchChunks(cand.map(_._1))
       val exactBase = bm25ScoresFor(bmTokens, rows.map(_._1))
-      val scored = rows.map { case (c, (pb, mb, gib)) =>
-        (c, ctx.score(exactBase.getOrElse(c.chunkId, 0.0), c.text, pb, mb, gib))
-      }.sortBy { case (c, s) => (-s, c.source, c.page, c.chunkIdx) }
+      val scored = scoreCandidates(ctx, rows, exactBase)
       if (scored.length >= poolSize) {
         val theta = scored(poolSize - 1)._2
         val excludedUpper = (if (exhausted) 0.0 else wandMinBase) + bMax + slack
         if (excludedUpper < theta) return Some(scored.take(poolSize).toIndexedSeq)
       }
+      if (exhausted) return None // growing m cannot add candidates
       m *= 4
     }
     None
+  }
+
+  /** Bonus-score the candidates in parallel on the driver (pure function
+    * per row; the difflib fuzzy pass dominates for long queries) and sort
+    * by the pool's deterministic order.
+    */
+  private def scoreCandidates(ctx: Scoring.QueryBonusContext,
+                              rows: IndexedSeq[(ChunkRow, (Double, Double, Double))],
+                              exactBase: Map[Long, Double])
+      : IndexedSeq[(ChunkRow, Double)] = {
+    val out = new Array[(ChunkRow, Double)](rows.length)
+    java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
+      val (c, (pb, mb, gib)) = rows(i)
+      out(i) = (c, ctx.score(exactBase.getOrElse(c.chunkId, 0.0), c.text, pb, mb, gib))
+    }
+    out.toIndexedSeq.sortBy { case (c, s) => (-s, c.source, c.page, c.chunkIdx) }
   }
 
   /** Candidate rows + their precomputed static bonuses (pattern, meta, gib)
