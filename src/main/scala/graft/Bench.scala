@@ -75,7 +75,11 @@ object Bench {
 
   private def mapOnlySecs(s: SparkSession, nPages: Long): Double = {
     import s.implicits._
-    val pages = WebPages.generate(s, nPages, 42, s.sparkContext.defaultParallelism * 2)
+    // 3x the build's page count: the map-only job is all compute, so a
+    // bigger fixed workload amortizes per-job scheduling overhead out of
+    // the scaling ratio (the quantity of interest is throughput ratio, not
+    // absolute seconds)
+    val pages = WebPages.generate(s, nPages * 3, 42, s.sparkContext.defaultParallelism * 2)
     time {
       pages.mapPartitions { it =>
         it.map { p =>
@@ -106,7 +110,30 @@ object Bench {
     val small = math.max(1, math.min(4, cpus / 4))
     val big = small * 4
 
-    // 1. catalog queries on the sf tables (second run timed)
+    // 1. scaling FIRST, in a fresh JVM (a heap churned by the catalog
+    // phase adds noise the min-of-3 cannot always mask): alternating
+    // local[small]/local[big] sessions, best-of-3
+    var mapT = Map(small -> List.empty[Double], big -> List.empty[Double])
+    var buildT = Map(small -> List.empty[Double], big -> List.empty[Double])
+    var nChunks = 0L
+    var queryPaths: IndexPaths = null
+    for (round <- 1 to 3; c <- Seq(small, big)) {
+      val s = session(c)
+      try {
+        if (round == 1) mapOnlySecs(s, nPages / 3) // JIT warm per session size
+        mapT += c -> (mapOnlySecs(s, nPages) :: mapT(c))
+        val (bs, nc, paths) = buildSecs(s, nPages)
+        buildT += c -> (bs :: buildT(c))
+        nChunks = nc
+        if (c == big && queryPaths == null) queryPaths = paths
+        else rmTree(paths.root) // keep one index for the query phase
+      } finally {
+        s.stop()
+        System.gc() // start each session from a settled heap
+      }
+    }
+
+    // 2. catalog queries on the sf tables (second run timed)
     val spark1 = session(cpus)
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark1, sfDir).count() } catch { case _: Throwable => () }
@@ -116,24 +143,6 @@ object Bench {
       name -> secs
     }
     spark1.stop()
-
-    // 2. scaling: alternating local[small]/local[big] sessions, best-of-3
-    var mapT = Map(small -> List.empty[Double], big -> List.empty[Double])
-    var buildT = Map(small -> List.empty[Double], big -> List.empty[Double])
-    var nChunks = 0L
-    var queryPaths: IndexPaths = null
-    for (round <- 1 to 3; c <- Seq(small, big)) {
-      val s = session(c)
-      try {
-        if (round == 1) mapOnlySecs(s, nPages) // JIT warm per session size
-        mapT += c -> (mapOnlySecs(s, nPages) :: mapT(c))
-        val (bs, nc, paths) = buildSecs(s, nPages)
-        buildT += c -> (bs :: buildT(c))
-        nChunks = nc
-        if (c == big && queryPaths == null) queryPaths = paths
-        else rmTree(paths.root) // keep one index for the query phase
-      } finally s.stop()
-    }
     val mapEff = (mapT(small).min / mapT(big).min) / (big.toDouble / small)
     val buildEff = (buildT(small).min / buildT(big).min) / (big.toDouble / small)
     val bestBuild = buildT(big).min

@@ -108,6 +108,23 @@ object Biblio {
       .as[ChunkRow]
   }
 
+  /** TTL freshness split for the DOI-metadata dimension (reference
+    * index.py:203-267: cache entries with `updated_at` older than
+    * `doi_cache_ttl_days` are stale and must be re-fetched). The engine
+    * consumes the fresh half for enrichment; the stale half is the work
+    * list for the external enrichment job (out-of-engine I/O per SURVEY
+    * §2.12). `asOf` is supplied, never wall clock — determinism.
+    */
+  def splitByFreshness(dim: DataFrame, asOf: java.sql.Timestamp,
+                       ttlDays: Int): (DataFrame, DataFrame) = {
+    val cutoff = new java.sql.Timestamp(asOf.getTime - ttlDays * 86400000L)
+    val fresh = dim.filter(col("updated_at").isNotNull &&
+      col("updated_at") >= lit(cutoff))
+    val stale = dim.filter(col("updated_at").isNull ||
+      col("updated_at") < lit(cutoff))
+    (fresh, stale)
+  }
+
   /** Driver-orchestrated citekey fill over a chunk table: distinct sources
     * in deterministic first-appearance order -> broadcast map -> column
     * fill. (Citekeys are a document-collection feature; the distinct-source

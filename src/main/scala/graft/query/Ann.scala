@@ -1,0 +1,100 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN preselect implementations over an embeddings table
+  * (chunk_id: long, embedding: array<float>) — the engine-side analog of
+  * the reference's FAISS corpus index (semantic_index.py:93-153).
+  *
+  * [[BruteForceAnn]] is the exact-cosine baseline (full scan, fine to a
+  * few million vectors per executor-parallel scan); [[SparkAnnLsh]] is the
+  * 10^12-scale path: signed-random-projection buckets computed once at
+  * "index build" (a narrow map, cached), query-time candidates limited to
+  * the query's bucket plus Hamming-1 probe buckets (multi-probe recovers
+  * the recall a single bucket loses), exact cosine only on candidates.
+  */
+object Ann {
+  /** Deterministic signed hyperplane component for (plane i, dim j) —
+    * shared with the q_ann_lsh SQL scheme in SparkEntryExtra.
+    */
+  def sign(i: Int, j: Int): Double =
+    if (((i.toLong * 131 + j) * 2654435761L) % 4294967296L >= 2147483648L) 1.0 else -1.0
+
+  def bucketOf(emb: Seq[Float], nPlanes: Int): Int = {
+    var b = 0
+    var i = 0
+    while (i < nPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < emb.length) { dot += emb(j) * sign(i, j); j += 1 }
+      if (dot >= 0) b |= (1 << i)
+      i += 1
+    }
+    b
+  }
+
+  def cosine(a: Seq[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}
+
+final class BruteForceAnn(spark: SparkSession, embeddings: DataFrame,
+                          provider: EmbeddingProvider) extends AnnPreselector {
+  import spark.implicits._
+  private val cached = embeddings.select("chunk_id", "embedding")
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  override def preselect(query: String, topn: Int): Seq[Long] =
+    provider.embedQuery(query) match {
+      case None => Nil
+      case Some(qe) =>
+        val qv = qe // local capture: the udf closure must not drag `this` in
+        val cos = udf((e: Seq[Float]) => Ann.cosine(e, qv))
+        cached.withColumn("cos", cos(col("embedding")))
+          .orderBy(desc("cos"), asc("chunk_id"))
+          .limit(topn)
+          .select("chunk_id").as[Long].collect().toSeq
+    }
+}
+
+final class SparkAnnLsh(spark: SparkSession, embeddings: DataFrame,
+                        provider: EmbeddingProvider,
+                        nPlanes: Int = 16, probes: Int = 16) extends AnnPreselector {
+  import spark.implicits._
+  // signature table: one narrow pass at construction, cached — at scale
+  // this is a persisted column of the embeddings table
+  private val sigs = {
+    val np = nPlanes // local capture for the udf closure
+    val bucketUdf = udf((e: Seq[Float]) => Ann.bucketOf(e, np))
+    embeddings.select("chunk_id", "embedding")
+      .withColumn("bucket", bucketUdf(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  override def preselect(query: String, topn: Int): Seq[Long] =
+    provider.embedQuery(query) match {
+      case None => Nil
+      case Some(qe) =>
+        val qb = Ann.bucketOf(qe.toSeq, nPlanes)
+        // multi-probe: query bucket, then Hamming-1, then Hamming-2
+        // neighbors until the probe budget is spent
+        val h1 = (0 until nPlanes).map(i => qb ^ (1 << i))
+        val h2 = for (i <- 0 until nPlanes; j <- (i + 1) until nPlanes)
+          yield qb ^ (1 << i) ^ (1 << j)
+        val buckets = (qb +: (h1 ++ h2)).take(1 + probes)
+        val qv = qe
+        val cos = udf((e: Seq[Float]) => Ann.cosine(e, qv))
+        sigs.filter(col("bucket").isin(buckets: _*))
+          .withColumn("cos", cos(col("embedding")))
+          .orderBy(desc("cos"), asc("chunk_id"))
+          .limit(topn)
+          .select("chunk_id").as[Long].collect().toSeq
+    }
+}

@@ -50,4 +50,10 @@ final class LocalBackend(val chunks: IndexedSeq[ChunkRow],
     val scores = denseScores(queryTokens)
     chunks.indices.sortBy(i => -scores(i)).take(fbDocs).map(i => chunks(i).text)
   }
+
+  override def bonusedScoresFor(query: String, bm25Query: String, ids: Seq[Long],
+                                cfg: PipelineConfig): IndexedSeq[(ChunkRow, Double)] = {
+    val scores = bonusedScores(query, bm25Query, cfg)
+    ids.flatMap(id => byId.get(id).map(i => (chunks(i), scores(i)))).toIndexedSeq
+  }
 }

@@ -23,6 +23,11 @@ case class PipelineConfig(
     hydeVariants: Seq[String] = Nil,
     semanticEnabled: Boolean = false,
     semanticTopn: Int = 80,
+    /** ANN preselect over the WHOLE corpus before the semantic rerank
+      * (reference semantic_index.py:110-153 via fusion.py:171-185) —
+      * requires an [[AnnPreselector]] passed to searchTopK. */
+    annEnabled: Boolean = false,
+    annTopn: Int = 80,
     heuristicEnabled: Boolean = true,
     heuristicTopn: Int = 150,
     heuristicAlpha: Double = 0.6,
@@ -70,6 +75,25 @@ trait SearchBackend {
     * reference prf.py:29), rank order, ties by ascending chunk order.
     */
   def topDocsForRm3(queryTokens: Seq[String], fbDocs: Int): Seq[String]
+
+  /** Bonused baseline scores for arbitrary chunk ids in input order —
+    * the `baseline_scores[i]` lookups the reference performs for
+    * ANN-preselected semantic candidates that may lie outside the pool
+    * (fusion.py:183-185). Unknown ids are dropped.
+    */
+  def bonusedScoresFor(query: String, bm25Query: String, ids: Seq[Long],
+                       cfg: PipelineConfig): IndexedSeq[(ChunkRow, Double)]
+}
+
+/** Whole-corpus approximate-nearest-neighbor preselect seam (reference
+  * semantic_index.py ann_select_candidates). Implementations:
+  * [[BruteForceAnn]] (exact baseline), [[SparkAnnLsh]] (the scale path).
+  */
+trait AnnPreselector extends Serializable {
+  /** Top-n chunkIds by embedding similarity over the whole corpus,
+    * best-first; empty when embeddings are unavailable.
+    */
+  def preselect(query: String, topn: Int): Seq[Long]
 }
 
 case class SearchOutput(results: List[ResultRow], confidence: Confidence,
@@ -346,7 +370,8 @@ object Pipeline {
   /** main.py:99-247 search_topk — full multi-run RRF pipeline. */
   def searchTopK(backend: SearchBackend, query: String, cfg: PipelineConfig,
                  bm25Query: Option[String] = None,
-                 embeddings: Option[EmbeddingProvider] = None): SearchOutput = {
+                 embeddings: Option[EmbeddingProvider] = None,
+                 ann: Option[AnnPreselector] = None): SearchOutput = {
     val qTokens = Analyzer.tokenize(query).toIndexedSeq
     val bq = bm25Query.getOrElse(query)
 
@@ -397,12 +422,22 @@ object Pipeline {
 
     // Run D: semantic rerank (fusion.py:159-200; off by default). The
     // reference falls back to original-score order when the model is
-    // unavailable — mirrored when no provider is supplied.
+    // unavailable — mirrored when no provider is supplied. With ANN
+    // enabled, candidates come from a whole-corpus preselect instead of
+    // the pool head (fusion.py:171-185), with bonused baseline scores
+    // recomputed for out-of-pool chunks.
     if (cfg.semanticEnabled) {
       val topn = math.min(cfg.semanticTopn, pool.length)
-      val candidates = pool.take(topn).map(p => (p._1.chunkId, p._1.text, p._2))
+      var candidates = pool.take(topn).map(p => (p._1.chunkId, p._1.text, p._2))
+      if (cfg.annEnabled) ann.foreach { a =>
+        val ids = a.preselect(query, cfg.annTopn)
+        if (ids.nonEmpty) {
+          candidates = backend.bonusedScoresFor(query, bq, ids, cfg)
+            .map { case (c, s) => (c.chunkId, c.text, s) }
+        }
+      }
       runs += (embeddings match {
-        case Some(p) => Semantic.semanticRun(query, candidates, topn, p)
+        case Some(p) => Semantic.semanticRun(query, candidates, candidates.length, p)
         case None    => candidates.map(_._1).toList
       })
     }

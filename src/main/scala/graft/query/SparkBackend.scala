@@ -253,6 +253,24 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
       }.toIndexedSeq
   }
 
+  /** Bonused baseline scores for arbitrary ids (ANN semantic candidates),
+    * input order preserved; unknown ids dropped.
+    */
+  override def bonusedScoresFor(query: String, bm25Query: String, ids: Seq[Long],
+                                cfg: PipelineConfig): IndexedSeq[(ChunkRow, Double)] = {
+    val qTokens = Analyzer.tokenize(query).toIndexedSeq
+    val bmTokens =
+      if (bm25Query == query) qTokens else Analyzer.tokenize(bm25Query).toIndexedSeq
+    val ctx = new Scoring.QueryBonusContext(query, qTokens, cfg.proxWindow,
+      cfg.proxLambda, cfg.ngramLambda)
+    val rows = fetchChunks(ids)
+    val base = bm25ScoresFor(bmTokens, rows.map(_._1))
+    val byId = rows.map { case (c, (pb, mb, gib)) =>
+      c.chunkId -> ((c, ctx.score(base.getOrElse(c.chunkId, 0.0), c.text, pb, mb, gib)))
+    }.toMap
+    ids.flatMap(byId.get).toIndexedSeq
+  }
+
   /** Driver-side exact re-scoring of pool chunks (pool <= 200). */
   override def bm25ScoresFor(queryTokens: Seq[String], chunks: Seq[ChunkRow]): Map[Long, Double] = {
     val st = Bm25Stats(stats.nDocs, stats.avgdl, idfFor(queryTokens), stats.k1, stats.b)
