@@ -33,11 +33,20 @@ case class BuildConfig(
     b: Double = 0.75,
     epsilon: Double = 0.25,
     nTermBuckets: Int = 32,
+    /** doc-hash salt shards per term (head-term skew + WAND parallelism).
+      * 0 = auto: scale with corpus size so one shard never exceeds ~250k
+      * docs — WAND parallelism must grow with the corpus, a fixed count
+      * would cap query-time concurrency at 10^12 docs.
+      */
     nDocShards: Int = 4,
     blockSize: Int = Codec.DefaultBlockSize,
     shufflePartitions: Int = 32) {
   def configHash: String =
     Analyzer.md5Hex(s"$k1|$b|$epsilon|$nTermBuckets|$nDocShards|$blockSize")
+
+  def resolveDocShards(nDocs: Long): Int =
+    if (nDocShards > 0) nDocShards
+    else math.min(4096L, math.max(4L, nDocs / 250000L + 1L)).toInt
 }
 
 case class IndexPaths(root: String) {
@@ -149,7 +158,7 @@ object IndexBuilder {
     val metricsAcc: CollectionAccumulator[PartitionMetric] =
       spark.sparkContext.collectionAccumulator[PartitionMetric]("block-build")
     val k1 = cfg.k1; val b = cfg.b; val blockSize = cfg.blockSize
-    val nShards = cfg.nDocShards
+    val nShards = cfg.resolveDocShards(nDocs)
     val withShard = postings(chunksDF)
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(cfg.nTermBuckets)).cast("int"))
       .withColumn("shard", pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int"))
