@@ -180,6 +180,24 @@ object SparkEntry {
             ORDER BY score DESC, doc_id LIMIT 20""")
     }),
 
+    // RRF fusion arithmetic over two rankings (reference fusion.py:12-28
+    // semantics: rank-1-based 1/(C+rank), per-run cap 200) — run A = BM25
+    // ranking, run B = doc-length ranking; each doc has <= 2 contributions
+    // so the double sum is order-independent.
+    "q_rrf_fusion" -> ((spark: SparkSession, dir: String) => {
+      prepareBm25Views(spark, dir)
+      spark.sql(
+        s"""WITH $bm25ScoresViewSql,
+            ra AS (SELECT doc_id, row_number() OVER
+                     (ORDER BY round(score, 4) DESC, doc_id) AS rk FROM scores),
+            rb AS (SELECT doc_id, row_number() OVER
+                     (ORDER BY dl DESC, doc_id) AS rk FROM graft_lens),
+            u AS (SELECT doc_id, rk FROM ra WHERE rk <= 200
+                  UNION ALL SELECT doc_id, rk FROM rb WHERE rk <= 200)
+            SELECT doc_id, round(sum(CAST(1 AS DOUBLE) / (75 + rk)), 6) AS rrf
+            FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 50""")
+    }),
+
     "q_rm3_terms" -> ((spark: SparkSession, dir: String) => {
       prepareBm25Views(spark, dir)
       spark.sql(
@@ -384,6 +402,17 @@ object SparkEntry {
       s"""${bm25ScoreSql("duck")}
           SELECT doc_id, round(score, 4) AS score FROM scores
           ORDER BY score DESC, doc_id LIMIT 20""",
+
+    "q_rrf_fusion" ->
+      s"""${bm25ScoreSql("duck")},
+          ra AS (SELECT doc_id, row_number() OVER
+                   (ORDER BY round(score, 4) DESC, doc_id) AS rk FROM scores),
+          rb AS (SELECT doc_id, row_number() OVER
+                   (ORDER BY dl DESC, doc_id) AS rk FROM lens),
+          u AS (SELECT doc_id, rk FROM ra WHERE rk <= 200
+                UNION ALL SELECT doc_id, rk FROM rb WHERE rk <= 200)
+          SELECT doc_id, round(sum(CAST(1 AS DOUBLE) / (75 + rk)), 6) AS rrf
+          FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 50""",
 
     "q_rm3_terms" ->
       s"""${bm25ScoreSql("duck")},

@@ -92,12 +92,14 @@ for missing in ("fitz", "httpx", "yaml", "tqdm"):
                 mod.HTTPError = type("HTTPError", (Exception,), {})
             sys.modules[missing] = mod
 
-from lightweight_rag import io_pdf, index as ref_index, performance  # noqa: E402
+from lightweight_rag import io_pdf, index as ref_index, performance, scoring  # noqa: E402
 from lightweight_rag.models import Chunk, DocMeta  # noqa: E402
 from lightweight_rag.main import search_topk  # noqa: E402
 from lightweight_rag.config import get_default_config  # noqa: E402
 
 QSTRING = "spark hash join scan"  # SparkEntry's fixed reference query
+# >= 20 chars so the difflib fuzzy path is active (scoring.py:197)
+FUZZY_QUERY = "partition strategies for distributed query engines"
 OUT_BASE = os.path.join(os.path.dirname(__file__), "..",
                         "src", "test", "resources", "fixtures")
 
@@ -139,6 +141,40 @@ def run_sf(sf_dir, out_dir):
             ch["chunk_len"].append(len(piece))
             ch["chunk_head"].append(piece[:60])
     pq.write_table(pa.table(ch), f"{out_dir}/q_chunker.parquet")
+
+    # ---- q_normalize: reference clean_text/normalize_text (the
+    #      byte-identical-text invariant, oracle-checked) ----
+    nm = {"doc_id": [], "clean_len": [], "clean_md5": [], "norm_md5": []}
+    for doc_id, text, _ in rows:
+        cleaned = io_pdf.clean_text(text)
+        normed = io_pdf.normalize_text(text)
+        nm["doc_id"].append(doc_id)
+        nm["clean_len"].append(len(cleaned))
+        nm["clean_md5"].append(hashlib.md5(cleaned.encode("utf-8")).hexdigest())
+        nm["norm_md5"].append(hashlib.md5(normed.encode("utf-8")).hexdigest())
+    pq.write_table(pa.table(nm), f"{out_dir}/q_normalize.parquet")
+
+    # ---- q_sentences: reference split_into_sentences ----
+    sn = {"doc_id": [], "n_sentences": [], "first_len": [], "sent_md5": []}
+    for doc_id, text, _ in rows:
+        sents = io_pdf.split_into_sentences(text)
+        sn["doc_id"].append(doc_id)
+        sn["n_sentences"].append(len(sents))
+        sn["first_len"].append(len(sents[0]) if sents else 0)
+        sn["sent_md5"].append(
+            hashlib.md5("\x1f".join(sents).encode("utf-8")).hexdigest())
+    pq.write_table(pa.table(sn), f"{out_dir}/q_sentences.parquet")
+
+    # ---- q_gibberish: reference gibberish_penalty ----
+    gb = {"doc_id": [r[0] for r in rows],
+          "gibberish": [round(scoring.gibberish_penalty(r[1], 0.20), 6) for r in rows]}
+    pq.write_table(pa.table(gb), f"{out_dir}/q_gibberish.parquet")
+
+    # ---- q_fuzzy_bonus: reference difflib fuzzy_match_bonus ----
+    fz = {"doc_id": [r[0] for r in rows],
+          "fuzzy": [round(scoring.fuzzy_match_bonus(r[1], FUZZY_QUERY, 20), 6)
+                    for r in rows]}
+    pq.write_table(pa.table(fz), f"{out_dir}/q_fuzzy_bonus.parquet")
 
     # ---- q_quality_gate: reference is_text_quality_good(text, 0.5) ----
     qg = {"doc_id": [r[0] for r in rows],
