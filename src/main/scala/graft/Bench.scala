@@ -75,11 +75,11 @@ object Bench {
 
   private def mapOnlySecs(s: SparkSession, nPages: Long): Double = {
     import s.implicits._
-    // 3x the build's page count: the map-only job is all compute, so a
-    // bigger fixed workload amortizes per-job scheduling overhead out of
-    // the scaling ratio (the quantity of interest is throughput ratio, not
-    // absolute seconds)
-    val pages = WebPages.generate(s, nPages * 3, 42, s.sparkContext.defaultParallelism * 2)
+    // 5x the build's page count: the map-only job is all compute, so a
+    // bigger fixed workload amortizes per-job scheduling overhead and the
+    // short-job noise floor out of the scaling ratio (the quantity of
+    // interest is throughput ratio, not absolute seconds)
+    val pages = WebPages.generate(s, nPages * 5, 42, s.sparkContext.defaultParallelism * 2)
     time {
       pages.mapPartitions { it =>
         it.map { p =>

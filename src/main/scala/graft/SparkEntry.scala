@@ -29,13 +29,16 @@ object SparkEntry {
     * constants from graft.ops.Minhash).
     */
   private def registerMinhashUdfs(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.udf
+    // Array params avoid per-element boxing; asNondeterministic stops
+    // Catalyst duplicating the call across projections/filters
     spark.udf.register("graft_minhash64",
-      (hs: Seq[Long]) =>
-        graft.ops.Minhash.signature(if (hs == null) null else hs.toArray))
+      udf((hs: Array[Long]) => graft.ops.Minhash.signature(hs))
+        .asNondeterministic())
     spark.udf.register("graft_minhash_bands",
-      (hs: Seq[Long]) =>
-        graft.ops.Minhash.bands(
-          graft.ops.Minhash.signature(if (hs == null) null else hs.toArray)))
+      udf((hs: Array[Long]) =>
+        graft.ops.Minhash.bands(graft.ops.Minhash.signature(hs)))
+        .asNondeterministic())
   }
 
   /** Shared BM25 CTE chain (Spark dialect). */

@@ -202,13 +202,16 @@ object IndexBuilder {
         (System.nanoTime() - start) / 1000000))
       out.iterator
     }
+    // persist so the stats aggregation reads the in-memory block rows
+    // instead of re-listing + re-reading the fresh parquet
+    blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.blocks)
     phase("blocks")
 
     // ---- statistics (broadcast source) ----
     // df/idf from the block-grain table: a few rows per (term, shard), so
     // this shuffle is vocabulary-sized, never posting-sized.
-    val dfTable = spark.read.parquet(out.blocks)
+    val dfTable = blocks.toDF()
       .groupBy("term", "bucket").agg(sum("n").as("df"))
       .withColumn("raw_idf",
         log(lit(nDocs.toDouble) - col("df") + 0.5) - log(col("df") + 0.5))
@@ -228,6 +231,7 @@ object IndexBuilder {
       .sortWithinPartitions("bucket", "term")
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.termStats)
     dfTable.unpersist()
+    blocks.unpersist()
     phase("stats-write")
 
     val wallMs = (System.nanoTime() - t0) / 1000000
