@@ -48,8 +48,13 @@ object GraftCli {
 
     cmd match {
       case "subprocess" =>
-        // one JSON request on stdin -> one JSON response on stdout
-        val input = scala.io.Source.stdin.mkString
+        // one JSON request on stdin -> one JSON response on stdout; an
+        // optional file argument replaces stdin (sbt's batch mode does not
+        // forward stdin to forked JVMs; spark-submit does)
+        val input =
+          if (args.length > 2)
+            java.nio.file.Files.readString(java.nio.file.Paths.get(args(2)))
+          else scala.io.Source.stdin.mkString
         val deps = graft.config.Subprocess.Deps(
           runQuery = (q, cfg) => {
             val backend = new SparkBackend(spark, paths)

@@ -218,6 +218,12 @@ def run_sf(sf_dir, out_dir):
         heuristic_config=cfg["rerank"]["heuristic"],
     )
     results = performance.sort_results_deterministically(results)
+    pq.write_table(pa.table({
+        "level": [_confidence["level"]],
+        "score": [float(_confidence["score"])],
+        "spread": [float(_confidence["spread"])],
+        "stability": [float(_confidence["stability"])],
+    }), f"{out_dir}/q_search_confidence.parquet")
     st = {"rank": [], "source": [], "score": [], "snippet": []}
     for i, r in enumerate(results[:cfg["rerank"]["final_top_k"]]):
         st["rank"].append(i + 1)
