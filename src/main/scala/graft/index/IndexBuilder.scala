@@ -40,6 +40,13 @@ case class BuildConfig(
       */
     nDocShards: Int = 4,
     blockSize: Int = Codec.DefaultBlockSize,
+    /** chunk-table hash partitions on chunkId (0 = off). With buckets the
+      * bounded pool's candidate fetch prunes to the candidates' partitions
+      * instead of scanning the corpus — required at 10^12 chunks, where
+      * even a cached full scan per query is a scale-killer. Costs one
+      * extra clustering shuffle of the chunk table at build time.
+      */
+    nChunkBuckets: Int = 0,
     shufflePartitions: Int = 32) {
   def configHash: String =
     Analyzer.md5Hex(s"$k1|$b|$epsilon|$nTermBuckets|$nDocShards|$blockSize")
@@ -98,6 +105,13 @@ object IndexBuilder {
         org.apache.spark.sql.types.StringType, 42L),
       n.toLong).toInt
 
+  /** Must agree with SQL `pmod(xxhash64(chunkId), n)` (long input, seed 42). */
+  def chunkBucket(chunkId: Long, n: Int): Int =
+    math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        chunkId, org.apache.spark.sql.types.LongType, 42L),
+      n.toLong).toInt
+
   /** Chunk rows -> flat postings with doc lengths (no shuffle; narrow). */
   def postings(chunks: Dataset[ChunkRow]): Dataset[Posting] = {
     import chunks.sparkSession.implicits._
@@ -134,12 +148,19 @@ object IndexBuilder {
       graft.analysis.Scoring.metadataBonus(text, Option(title)))
     val gibUdf = udf((text: String) => graft.analysis.Scoring.gibberishPenalty(text))
     val dlUdf = udf((text: String) => Analyzer.tokenize(text).length)
-    chunks.toDF()
+    val chunksOut = chunks.toDF()
       .withColumn("pattern_b", patternUdf(col("text")))
       .withColumn("meta_b", metaUdf(col("text"), col("meta.title")))
       .withColumn("gib", gibUdf(col("text")))
       .withColumn("dl", dlUdf(col("text")))
-      .write.mode(SaveMode.Overwrite).parquet(out.chunks)
+    if (cfg.nChunkBuckets > 0)
+      chunksOut
+        .withColumn("cbucket",
+          pmod(xxhash64(col("chunkId")), lit(cfg.nChunkBuckets)).cast("int"))
+        .repartition(cfg.nChunkBuckets, col("cbucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cbucket").parquet(out.chunks)
+    else
+      chunksOut.write.mode(SaveMode.Overwrite).parquet(out.chunks)
     val chunksDF = spark.read.parquet(out.chunks).as[ChunkRow]
 
     // N / avgdl from the denormalized doc-length column — a narrow

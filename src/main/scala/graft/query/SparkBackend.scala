@@ -206,12 +206,26 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
     out.toIndexedSeq.sortBy { case (c, s) => (-s, c.source, c.page, c.chunkIdx) }
   }
 
+  // chunk-bucket partition pruning for candidate fetches (present when the
+  // index was built with nChunkBuckets > 0)
+  private val chunkBucketed = chunksRawDF.columns.contains("cbucket")
+  private val nChunkBuckets =
+    if (chunkBucketed)
+      chunksRawDF.select(max(col("cbucket"))).head().getInt(0) + 1
+    else 0
+
   /** Candidate rows + their precomputed static bonuses (pattern, meta, gib)
-    * from the cached chunk table.
+    * from the cached chunk table; with a bucketed chunk table the scan is
+    * pruned to the candidates' partitions (the corpus-sublinear path).
     */
   private def fetchChunks(ids: Seq[Long])
       : IndexedSeq[(ChunkRow, (Double, Double, Double))] = {
-    chunksRawDF
+    val base =
+      if (chunkBucketed) {
+        val buckets = ids.map(IndexBuilder.chunkBucket(_, nChunkBuckets)).distinct
+        chunksRawDF.filter(col("cbucket").isin(buckets: _*))
+      } else chunksRawDF
+    base
       .filter(col("chunkId").isin(ids: _*))
       .select(col("chunkId"), col("docId"), col("source"), col("page"),
         col("chunkIdx"), col("text"), col("meta"),

@@ -48,4 +48,26 @@ class SparkBoundedPoolSpec extends AnyFunSuite {
     }
     assert(engaged > 0, "bounded path never engaged — safety bound broken or corpus too small")
   }
+
+  test("chunk-bucketed index (pruned candidate fetch) returns identical pools") {
+    import spark.implicits._
+    val pages = WebPages.generate(spark, 800, 42, 8)
+      .map(p => PageDoc(p.url, 1, p.text, None))
+    val chunks = ChunkerJob.chunk(pages, ChunkerConfig())
+    val pathsB = IndexPaths(
+      java.nio.file.Files.createTempDirectory("graft-cbucket").toString)
+    IndexBuilder.build(spark, chunks, pathsB,
+      BuildConfig(nTermBuckets = 8, nDocShards = 2, shufflePartitions = 8,
+        nChunkBuckets = 16))
+    val bucketed = new SparkBackend(spark, pathsB)
+    for (q <- queries.take(3)) {
+      val a = bucketed.topPool(q, q, 50, PipelineConfig())
+      val b = backend.topPool(q, q, 50, PipelineConfig())
+      // different corpora sizes -> compare bucketed against ITS own dense
+      val dense = bucketed.topPool(q, q, 50, PipelineConfig(densePoolOnly = true))
+      assert(a.map(p => (p._1.chunkId, p._2)) == dense.map(p => (p._1.chunkId, p._2)),
+        s"'$q' bucketed pool != dense pool")
+      assert(b.nonEmpty) // main fixture still healthy
+    }
+  }
 }
