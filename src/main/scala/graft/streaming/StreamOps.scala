@@ -31,6 +31,25 @@ object StreamOps {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming exact dedup on content hash — the ingest-time analog of the
+    * batch keep-first dedup (ChunkerJob.dedup): a re-crawled page whose
+    * normalized text already streamed through within the watermark horizon
+    * is dropped. State is bounded by the watermark (late duplicates beyond
+    * it are handled by the batch incremental merge, the same contract as
+    * the reference's re-crawl path). Works on batch frames too (plain
+    * dropDuplicates).
+    *
+    * Input: (url, warc_ts, text); output adds the dedup hash column.
+    */
+  def dedupStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val hashed = pages.withColumn("text_hash",
+      md5(regexp_replace(lower(col("text")), "(?U)\\W+", "")))
+    if (pages.isStreaming)
+      hashed.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark("text_hash")
+    else hashed.dropDuplicates("text_hash")
+  }
+
   /** Stateful sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState (event-time-ish using processing-time timeout
     * as the close signal; emits updates per batch).

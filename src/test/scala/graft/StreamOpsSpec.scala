@@ -58,4 +58,33 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     query.stop()
   }
+
+  test("streaming dedup drops re-crawled duplicate text within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    val query = StreamOps.dedupStream(
+      input.toDF().toDF("url", "warc_ts", "text"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      ("https://a/1", ts(0), "Alpha beta gamma."),
+      ("https://a/2", ts(1), "alpha  BETA gamma"), // same normalized text
+      ("https://b/1", ts(2), "something else entirely"))
+    query.processAllAvailable()
+    input.addData(
+      ("https://a/1", ts(10), "Alpha beta gamma."), // re-crawl, dup again
+      ("https://c/1", ts(11), "fresh new content"))
+    query.processAllAvailable()
+    val urls = spark.sql("SELECT url FROM dedup").as[String].collect().sorted.toSeq
+    assert(urls == Seq("https://a/1", "https://b/1", "https://c/1"))
+
+    // batch mode: same operator, plain dropDuplicates
+    val batch = StreamOps.dedupStream(Seq(
+      ("u1", ts(0), "Same text!"), ("u2", ts(1), "same TEXT"),
+      ("u3", ts(2), "different")).toDF("url", "warc_ts", "text"))
+    assert(batch.count() == 2)
+    query.stop()
+  }
 }
