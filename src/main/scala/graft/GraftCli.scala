@@ -50,22 +50,51 @@ object GraftCli {
       case "subprocess" =>
         // one JSON request on stdin -> one JSON response on stdout; an
         // optional file argument replaces stdin (sbt's batch mode does not
-        // forward stdin to forked JVMs; spark-submit does)
-        val input =
-          if (args.length > 2)
-            java.nio.file.Files.readString(java.nio.file.Paths.get(args(2)))
-          else scala.io.Source.stdin.mkString
+        // forward stdin to forked JVMs; spark-submit does).
+        // --batch <file> switches to batch mode (cli_subprocess.py:124-230):
+        // a {"queries": [...]} file, one engine session across all queries,
+        // output to --output <file> or stdout.
+        lazy val backend = new SparkBackend(spark, paths) // one session per invocation
         val deps = graft.config.Subprocess.Deps(
-          runQuery = (q, cfg) => {
-            val backend = new SparkBackend(spark, paths)
+          runQuery = (q, cfg) =>
             Pipeline.searchTopK(backend, q,
-              graft.config.GraftConfig.toPipelineConfig(cfg))
-          },
+              graft.config.GraftConfig.toPipelineConfig(cfg)),
           listCollections = graft.config.Subprocess.fsCollections)
-        val (resp, code) = graft.config.Subprocess.handle(input, deps)
-        println(resp)
-        spark.stop()
-        sys.exit(code)
+        overrides.get("batch") match {
+          case Some(batchFile) =>
+            // reference batch config: defaults -> file -> CLI overrides
+            // (no env layer; per-query configs merge on top inside)
+            val baseCfg = graft.config.GraftConfig.applyCli(
+              graft.config.GraftConfig.merge(
+                graft.config.GraftConfig.defaults,
+                overrides.get("config").map(graft.config.GraftConfig.loadFile)
+                  .getOrElse(graft.config.GraftConfig.loadFile("config.yaml"))),
+              overrides -- Seq("batch", "output", "config"))
+            val input = java.nio.file.Files.readString(
+              java.nio.file.Paths.get(batchFile))
+            graft.config.Subprocess.handleBatch(input, deps, baseCfg) match {
+              case Left(err) =>
+                System.err.println(s"Error: $err")
+                spark.stop(); sys.exit(1)
+              case Right(json) =>
+                overrides.get("output") match {
+                  case Some(out) =>
+                    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+                    println(s"Batch processing complete. Results written to $out")
+                  case None => println(json)
+                }
+                spark.stop(); sys.exit(0)
+            }
+          case None =>
+            val input =
+              if (args.length > 2)
+                java.nio.file.Files.readString(java.nio.file.Paths.get(args(2)))
+              else scala.io.Source.stdin.mkString
+            val (resp, code) = graft.config.Subprocess.handle(input, deps)
+            println(resp)
+            spark.stop()
+            sys.exit(code)
+        }
       case "build" =>
         val nPages = if (args.length > 2) args(2).toLong else 10000L
         val seed = if (args.length > 3) args(3).toLong else 42L
@@ -73,7 +102,8 @@ object GraftCli {
           .map(p => PageDoc(p.url, 1, p.text, None))
         val t0 = System.nanoTime()
         val stats = ResumableBuild.run(spark, pages, paths,
-          BuildConfig(), ChunkerConfig(), ResumableBuild.ResumeConfig())
+          BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism),
+          ChunkerConfig(), ResumableBuild.ResumeConfig())
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[graft] indexed ${stats.nDocs} chunks from $nPages pages in $secs%.1fs " +
           f"(${stats.nDocs / secs}%.0f chunks/s); vocab=${stats.vocabSize} avgdl=${stats.avgdl}%.2f")
@@ -213,10 +243,12 @@ object GraftCli {
         // same-shape warm-up then timed direct build
         IndexBuilder.build(spark,
           graft.corpus.ChunkerJob.chunk(pages.limit(1000), ChunkerConfig()),
-          IndexPaths(s"${paths.root}-warm"), BuildConfig())
+          IndexPaths(s"${paths.root}-warm"),
+          BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism))
         val t0 = System.nanoTime()
         val stats = IndexBuilder.build(spark,
-          graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()), paths, BuildConfig())
+          graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()), paths,
+          BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism))
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[graft] directbuild ${stats.nDocs} chunks in $secs%.1fs " +
           f"(${nPages / secs}%.0f pages/s)")

@@ -270,20 +270,32 @@ object SparkEntry {
     // boilerplate shingle causes in the self-join at web scale; pairs
     // whose overlap is ONLY boilerplate are below the 0.2 threshold
     // anyway. The DuckDB oracle applies the identical cap.
-    "q_jaccard_pairs" -> sqlQuery(Seq("documents"),
-      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),
-          sh AS (SELECT DISTINCT doc_id, shingle
-                 FROM (SELECT doc_id, explode(${Sql.shinglesSpark("tk")}) AS shingle FROM toks)),
-          rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
-          shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
-          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    "q_jaccard_pairs" -> ((spark: SparkSession, dir: String) => {
+      views(spark, dir, "documents")
+      // Spark re-expands a CTE per consumer, so the shingle-explode stage
+      // (the expensive tokenizer pass) would run twice — once for `sizes`,
+      // once for `shr`. Materialize it like q_lsh_pairs does; the DuckDB
+      // oracle's CTEs materialize natively so its SQL stays single-block.
+      spark.sql(
+        s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents)
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, explode(${Sql.shinglesSpark("tk")}) AS shingle FROM toks)""")
+        .localCheckpoint(true)
+        .createOrReplaceTempView("graft_jacc_sh")
+      spark.sql(
+        """WITH rare AS (SELECT shingle FROM graft_jacc_sh
+                         GROUP BY shingle HAVING count(*) <= 1000),
+          shr AS (SELECT sh.doc_id, sh.shingle FROM graft_jacc_sh sh
+                  JOIN rare ON sh.shingle = rare.shingle),
+          sizes AS (SELECT doc_id, count(*) AS n FROM graft_jacc_sh GROUP BY doc_id),
           inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
                     FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                     GROUP BY a.doc_id, b.doc_id)
           SELECT x, y, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
           FROM inter JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y
           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
-          ORDER BY x, y""") _,
+          ORDER BY x, y""")
+    }),
 
     // --- text analytics (training-data ops) ---
     "q_quality_scores" -> sqlQuery(Seq("documents"),
@@ -344,7 +356,7 @@ object SparkEntry {
                  CASE WHEN prev IS NULL OR unix_micros(CAST(ts AS TIMESTAMP)) -
                                            unix_micros(CAST(prev AS TIMESTAMP)) > 1800000000
                       THEN 1 ELSE 0 END AS new_s FROM e)
-          SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+          SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
           FROM m GROUP BY user_id ORDER BY user_id""") _,
 
     // --- embeddings: similarity search (training-data ops) ---
@@ -538,7 +550,7 @@ object SparkEntry {
           m AS (SELECT user_id,
                  CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
                       THEN 1 ELSE 0 END AS new_s FROM e)
-          SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+          SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
           FROM m GROUP BY user_id ORDER BY user_id""",
 
     "q_embed_topk" ->

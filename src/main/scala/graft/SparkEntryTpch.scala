@@ -22,7 +22,7 @@ private[graft] object SparkEntryTpch {
   /** Dialect-shared SQL (identical text runs on Spark and DuckDB). */
   private val PricingSql =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base,
          CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100
            AS sum_disc

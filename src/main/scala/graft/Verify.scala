@@ -14,6 +14,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail loudly on an unknown corpus: the fixture oracles select their
+    // scale by sum(n_chars) signature, and an unmatched signature would
+    // otherwise read as a silent empty oracle (generic mismatch).
+    val sig = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0)
+    require(SparkEntryExtra.FixtureSigs.exists(_._2 == sig),
+      s"unknown corpus signature sum(n_chars)=$sig for $sfDir — regenerate " +
+        s"fixtures (tools/make_fixtures.py) or add the signature to " +
+        s"SparkEntryExtra.FixtureSigs")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

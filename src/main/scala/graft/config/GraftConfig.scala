@@ -40,11 +40,9 @@ object GraftConfig {
     "bonuses" -> Map(
       "proximity" -> Map("enabled" -> true, "window" -> 24L, "weight" -> 0.2),
       "ngram" -> Map("enabled" -> true, "weight" -> 0.1)),
-    "fusion" -> Map(
-      "rrf_enabled" -> true,
-      "rrf_c" -> 75L,
-      "rrf_cap" -> 200L,
-      "robust_enabled" -> true),
+    "fusion" -> Map( // nested exactly as the reference tree (config.py:116-125)
+      "rrf" -> Map("enabled" -> true, "C" -> 75L, "cap" -> 200L),
+      "robust_query" -> Map("enabled" -> true)),
     "rerank" -> Map(
       "final_top_k" -> 8L,
       "heuristic" -> Map(
@@ -65,7 +63,7 @@ object GraftConfig {
     "performance" -> Map("deterministic" -> true),
     "spark" -> Map(
       "n_term_buckets" -> 32L,
-      "n_doc_shards" -> 4L,
+      "n_doc_shards" -> 0L, // 0 = auto-scale with corpus size
       "shuffle_partitions" -> 32L))
 
   /** Deep merge (reference merge_configs, config.py:185-195). */
@@ -91,45 +89,122 @@ object GraftConfig {
       s.toDoubleOption.getOrElse(s): Any)
   }
 
-  /** Minimal YAML-subset parser: indentation-nested maps of scalars. */
+  /** Minimal YAML-subset parser: indentation-nested maps, scalar leaves,
+    * inline `[a, b]` lists (including multi-line continuations, which the
+    * reference's own config.yaml uses for bonuses.patterns) and `- item`
+    * block lists. Comment stripping is quote-aware ('#' inside quotes is
+    * data), and lines that fit none of these shapes are skipped rather
+    * than fatal — loadFull auto-loads ./config.yaml, so an exotic but
+    * valid YAML feature must never crash every CLI invocation.
+    */
   def parseYaml(text: String): Tree = {
-    case class Line(indent: Int, key: String, value: String)
-    val lines = text.linesIterator.toList
-      .map { l => val noComment =
-        if (l.trim.startsWith("#")) "" else l.takeWhile(_ != '#') // naive: '#' not in values
-        noComment
+    // '#' starts a comment only outside quotes
+    def stripComment(l: String): String = {
+      val sb = new StringBuilder
+      var inS = false; var inD = false; var i = 0
+      var done = false
+      while (i < l.length && !done) {
+        val c = l.charAt(i)
+        if (c == '\'' && !inD) inS = !inS
+        else if (c == '"' && !inS) inD = !inD
+        if (c == '#' && !inS && !inD) done = true else sb.append(c)
+        i += 1
       }
-      .filter(_.trim.nonEmpty)
-      .map { l =>
-        val indent = l.takeWhile(_ == ' ').length
-        val body = l.trim
-        val i = body.indexOf(':')
-        require(i > 0, s"unparseable yaml line: $l")
-        Line(indent, body.take(i).trim, body.drop(i + 1))
+      sb.toString
+    }
+    // net bracket depth outside quotes (for inline-list continuations)
+    def depthDelta(s: String): Int = {
+      var d = 0; var inS = false; var inD = false
+      s.foreach { c =>
+        if (c == '\'' && !inD) inS = !inS
+        else if (c == '"' && !inS) inD = !inD
+        else if (!inS && !inD) { if (c == '[') d += 1 else if (c == ']') d -= 1 }
       }
+      d
+    }
+    // logical lines: splice a multi-line inline list onto its opening line
+    val raw = text.linesIterator.map(stripComment).filter(_.trim.nonEmpty).toList
+    val logical = scala.collection.mutable.ListBuffer.empty[String]
+    var li = 0
+    while (li < raw.length) {
+      var cur = raw(li)
+      var depth = depthDelta(cur)
+      while (depth > 0 && li + 1 < raw.length) {
+        li += 1; cur = cur + " " + raw(li).trim; depth += depthDelta(raw(li))
+      }
+      logical += cur
+      li += 1
+    }
 
-    def build(ls: List[Line], indent: Int): (Tree, List[Line]) = {
+    def parseList(s: String): Seq[Any] = {
+      val t = s.trim
+      val inner = t.substring(1, t.length - 1)
+      val items = scala.collection.mutable.ListBuffer.empty[String]
+      val sb = new StringBuilder; var inS = false; var inD = false; var d = 0
+      inner.foreach { c =>
+        if (c == '\'' && !inD) { inS = !inS; sb.append(c) }
+        else if (c == '"' && !inS) { inD = !inD; sb.append(c) }
+        else if (c == ',' && !inS && !inD && d == 0) { items += sb.toString; sb.clear() }
+        else {
+          if (!inS && !inD) { if (c == '[') d += 1 else if (c == ']') d -= 1 }
+          sb.append(c)
+        }
+      }
+      if (sb.toString.trim.nonEmpty) items += sb.toString
+      items.toList.map(parseScalar)
+    }
+
+    sealed trait L { def indent: Int }
+    case class KV(indent: Int, key: String, value: String) extends L
+    case class Item(indent: Int, value: String) extends L
+    val lines: List[L] = logical.toList.flatMap { l =>
+      val indent = l.takeWhile(_ == ' ').length
+      val body = l.trim
+      if (body == "-" || body.startsWith("- ")) Some(Item(indent, body.drop(1).trim))
+      else {
+        val ci = body.indexOf(':')
+        if (ci > 0) Some(KV(indent, body.take(ci).trim, body.drop(ci + 1)))
+        else None // unparseable shape: skip, never crash
+      }
+    }
+
+    def leaf(value: String): Any = {
+      val v = value.trim
+      if (v.startsWith("[") && v.endsWith("]")) parseList(v) else parseScalar(v)
+    }
+
+    def build(ls: List[L], indent: Int): (Tree, List[L]) = {
       var rest = ls
       var out: Tree = Map.empty
       while (rest.nonEmpty && rest.head.indent >= indent) {
-        val h = rest.head
-        if (h.indent > indent) {
-          // over-indented without a parent key: tolerate by treating as this level
-          rest = Line(indent, h.key, h.value) :: rest.tail
-        } else if (h.value.trim.isEmpty) {
-          val (sub, r) = build(rest.tail,
-            rest.tail.headOption.map(_.indent).getOrElse(indent + 2))
-          // empty block -> null leaf
-          if (rest.tail.headOption.exists(_.indent > indent)) {
-            out += (h.key -> sub); rest = r
-          } else { out += (h.key -> null); rest = rest.tail }
-        } else {
-          out += (h.key -> parseScalar(h.value)); rest = rest.tail
+        rest.head match {
+          case h: KV if h.indent > indent =>
+            // over-indented without a parent key: tolerate at this level
+            rest = KV(indent, h.key, h.value) :: rest.tail
+          case h: KV if h.value.trim.isEmpty =>
+            rest.tail.headOption match {
+              case Some(n: Item) if n.indent >= indent =>
+                // block list: consecutive `- item` lines at the same indent
+                val (items, r) = rest.tail.span {
+                  case it: Item => it.indent == n.indent
+                  case _ => false
+                }
+                out += (h.key -> items.collect { case it: Item => parseScalar(it.value) })
+                rest = r
+              case Some(n) if n.indent > indent =>
+                val (sub, r) = build(rest.tail, n.indent)
+                out += (h.key -> sub); rest = r
+              case _ => out += (h.key -> null); rest = rest.tail
+            }
+          case h: KV =>
+            out += (h.key -> leaf(h.value)); rest = rest.tail
+          case _: Item =>
+            rest = rest.tail // stray list item at map level: skip
         }
       }
       (out, rest)
     }
-    build(lines, lines.headOption.map(_.indent).getOrElse(0))._1
+    build(lines, lines.collectFirst { case kv: KV => kv.indent }.getOrElse(0))._1
   }
 
   def loadFile(path: String): Tree = {
@@ -287,10 +362,10 @@ object GraftConfig {
     heuristicAlpha = dbl(cfg, "rerank", "heuristic", "alpha"),
     heuristicBeta = dbl(cfg, "rerank", "heuristic", "beta"),
     heuristicGamma = dbl(cfg, "rerank", "heuristic", "gamma"),
-    robustEnabled = bool(cfg, "fusion", "robust_enabled"),
-    rrfEnabled = bool(cfg, "fusion", "rrf_enabled"),
-    rrfC = long(cfg, "fusion", "rrf_c").toInt,
-    rrfCap = long(cfg, "fusion", "rrf_cap").toInt,
+    robustEnabled = bool(cfg, "fusion", "robust_query", "enabled"),
+    rrfEnabled = bool(cfg, "fusion", "rrf", "enabled"),
+    rrfC = long(cfg, "fusion", "rrf", "C").toInt,
+    rrfCap = long(cfg, "fusion", "rrf", "cap").toInt,
     diversityEnabled = bool(cfg, "diversity", "enabled"),
     perDocPenalty = dbl(cfg, "diversity", "per_doc_penalty"),
     maxPerDoc = long(cfg, "diversity", "max_per_doc").toInt,

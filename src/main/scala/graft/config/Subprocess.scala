@@ -168,9 +168,21 @@ object Subprocess {
     if (joined.length <= maxChars) joined else joined.take(maxChars - 3) + "..."
   }
 
+  /** Reference process_config (subprocess_interface.py:136-152): defaults
+    * -> config file (config.yaml when unspecified) -> inline config data,
+    * then environment adaptation. Deliberately NO GRAFT_* env-var layer —
+    * the reference subprocess is env-insensitive; env overrides apply only
+    * on the interactive CLI path (GraftCli.main).
+    */
+  def processConfig(configData: GraftConfig.Tree,
+                    configFile: Option[String]): GraftConfig.Tree = {
+    val fileCfg = GraftConfig.loadFile(configFile.getOrElse("config.yaml"))
+    Environment.adapt(
+      GraftConfig.merge(GraftConfig.merge(GraftConfig.defaults, fileCfg), configData))
+  }
+
   /** Handle one request; returns (responseJson, exitCode). */
-  def handle(input: String, deps: Deps,
-             env: Map[String, String] = sys.env): (String, Int) = {
+  def handle(input: String, deps: Deps): (String, Int) = {
     val data =
       try M.readTree(input)
       catch {
@@ -187,7 +199,7 @@ object Subprocess {
     val configFile = Option(data.get("config_file")).filter(_.isTextual).map(_.asText())
     val configData = Option(data.get("config")).map(jsonToTree(_).asInstanceOf[GraftConfig.Tree])
       .getOrElse(Map.empty: GraftConfig.Tree)
-    val cfg = GraftConfig.merge(GraftConfig.loadFull(configFile, env), configData)
+    val cfg = processConfig(configData, configFile)
 
     try {
       typ match {
@@ -219,6 +231,70 @@ object Subprocess {
       case e: Exception =>
         (M.writeValueAsString(errorResponse(e.getMessage, Some(query))), 1)
     }
+  }
+
+  /** Batch query mode (reference cli_subprocess.py:124-230): one JSON
+    * document `{"queries": [<str> | {"query": <str>, "config": {...}}]}`
+    * -> one `{"batch_results": [envelope...], "total_queries": N,
+    * "successful_queries": M}` document. ONE engine session serves every
+    * query (deps carries the live backend); per-query envelopes match the
+    * direct-query shape (success/query/results/count/error), per-query
+    * failures are isolated, malformed entries get an "Invalid query
+    * format" envelope.
+    *
+    * Returns Left(message) for structural errors (reference: stderr +
+    * exit 1) or Right(outputJson).
+    */
+  def handleBatch(input: String, deps: Deps,
+                  baseCfg: GraftConfig.Tree): Either[String, String] = {
+    val data =
+      try M.readTree(input)
+      catch { case e: Exception => return Left(s"Error in batch processing: ${e.getMessage}") }
+    if (data == null || !data.isObject || !data.has("queries"))
+      return Left("Batch file must contain a 'queries' array")
+    val queries = data.get("queries")
+    if (!queries.isArray)
+      return Left("'queries' must be an array")
+
+    def envelope(q: String, out: SearchOutput): ObjectNode = {
+      val o = M.createObjectNode()
+      o.put("success", true)
+      o.put("query", q)
+      o.set[JsonNode]("results", resultsNode(out))
+      o.put("count", out.results.length)
+      o.putNull("error")
+      o
+    }
+
+    val results = M.createArrayNode()
+    var successful = 0
+    queries.forEach { qn =>
+      val parsed: Either[String, (String, GraftConfig.Tree)] =
+        if (qn.isTextual) Right((qn.asText(), baseCfg))
+        else if (qn.isObject)
+          Right((Option(qn.get("query")).map(_.asText()).getOrElse(""),
+            GraftConfig.merge(baseCfg,
+              Option(qn.get("config")).filter(_.isObject)
+                .map(jsonToTree(_).asInstanceOf[GraftConfig.Tree])
+                .getOrElse(Map.empty: GraftConfig.Tree))))
+        else Left(qn.toString) // reference: str(query) in the error envelope
+      parsed match {
+        case Left(repr) =>
+          results.add(errorResponse("Invalid query format", Some(repr)))
+        case Right((q, cfg)) =>
+          try {
+            results.add(envelope(q, deps.runQuery(q, cfg)))
+            successful += 1
+          } catch {
+            case e: Exception => results.add(errorResponse(e.getMessage, Some(q)))
+          }
+      }
+    }
+    val o = M.createObjectNode()
+    o.set[JsonNode]("batch_results", results)
+    o.put("total_queries", queries.size())
+    o.put("successful_queries", successful)
+    Right(M.writeValueAsString(o))
   }
 
   /** Collections = sub-directories of the corpus dir (reference

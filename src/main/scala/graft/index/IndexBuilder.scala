@@ -38,7 +38,7 @@ case class BuildConfig(
       * docs — WAND parallelism must grow with the corpus, a fixed count
       * would cap query-time concurrency at 10^12 docs.
       */
-    nDocShards: Int = 4,
+    nDocShards: Int = 0,
     blockSize: Int = Codec.DefaultBlockSize,
     /** chunk-table hash partitions on chunkId (0 = off). With buckets the
       * bounded pool's candidate fetch prunes to the candidates' partitions
@@ -223,11 +223,16 @@ object IndexBuilder {
         (System.nanoTime() - start) / 1000000))
       out.iterator
     }
-    // persist so the stats aggregation reads the in-memory block rows
-    // instead of re-listing + re-reading the fresh parquet
+    // persist so both consumers read the in-memory block rows; the blocks
+    // parquet commit and the stats pipeline then run as CONCURRENT jobs
+    // over the same cache (Spark's block manager deduplicates concurrent
+    // partition computation) instead of serializing write -> stats — on a
+    // single box this overlaps the commit I/O with the stats shuffle CPU,
+    // and on a cluster the two jobs simply share executors.
     blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.blocks)
-    phase("blocks")
+    val blocksWrite = scala.concurrent.Future {
+      blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.blocks)
+    }(scala.concurrent.ExecutionContext.global)
 
     // ---- statistics (broadcast source) ----
     // df/idf from the block-grain table: a few rows per (term, shard), so
@@ -252,8 +257,9 @@ object IndexBuilder {
       .sortWithinPartitions("bucket", "term")
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.termStats)
     dfTable.unpersist()
+    scala.concurrent.Await.result(blocksWrite, scala.concurrent.duration.Duration.Inf)
     blocks.unpersist()
-    phase("stats-write")
+    phase("blocks-write+stats")
 
     val wallMs = (System.nanoTime() - t0) / 1000000
     val metrics = metricsAcc.value

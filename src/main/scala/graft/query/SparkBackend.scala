@@ -238,6 +238,18 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
       }.toIndexedSeq
   }
 
+  /** Matched-doc ceiling for broadcasting the sparse score frame in the
+    * dense pass (~16 B/doc -> ~800 MB at 50M). Above it the join degrades
+    * to a shuffled hash join: same reference-exact semantics, corpus
+    * reshuffled instead of a driver/executor-killing broadcast. Var so a
+    * spec can force the shuffle path at test scale.
+    */
+  private[graft] var denseBroadcastMaxMatched: Long = 50L * 1000 * 1000
+
+  /** Diagnostics: join strategy + physical plan of the last dense pass. */
+  @volatile var lastDenseJoin: String = ""
+  @volatile var lastDensePlan: String = ""
+
   /** Reference-exact dense pass: bonuses on every chunk, distributed top-k. */
   private def densePool(ctx: Scoring.QueryBonusContext,
                         bmTokens: IndexedSeq[String],
@@ -246,18 +258,28 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
                           metaB: Double, gib: Double) =>
       ctx.score(base, text, patternB, metaB, gib)
     }
-    // Broadcast the (chunkId, score) side: the chunk table (with its text
-    // payload) then never moves — the bonus pass runs on the cached
-    // partitions in place. Sparse scores are ~16B/doc; up to ~50M matched
-    // docs this beats reshuffling the corpus. Beyond that the bounded
-    // WAND-superset path above serves the query.
+    // Broadcast the (chunkId, score) side when it is provably small — the
+    // chunk table (with its text payload) then never moves and the bonus
+    // pass runs on the cached partitions in place. sum(df) of the query
+    // terms upper-bounds the matched-doc count; above the ceiling (head
+    // terms on a huge corpus) force a SHUFFLE_HASH join instead so the
+    // scale-killing broadcast is unreachable, not just documented.
+    val scores = scoresDF(bmTokens)
+    val matchedUpper = dfFor(bmTokens.distinct).values.sum
+    val scoresSide =
+      if (matchedUpper <= denseBroadcastMaxMatched) {
+        lastDenseJoin = "broadcast"; broadcast(scores)
+      } else {
+        lastDenseJoin = "shuffle-hash"; scores.hint("shuffle_hash")
+      }
     val scored = chunksRawDF
-      .join(broadcast(scoresDF(bmTokens)), Seq("chunkId"), "left")
+      .join(scoresSide, Seq("chunkId"), "left")
       .na.fill(0.0, Seq("score"))
       .withColumn("bscore", bonusUdf(col("score"), col("text"),
         col("pattern_b"), col("meta_b"), col("gib")))
       .orderBy(desc("bscore"), asc("source"), asc("page"), asc("chunkIdx"))
       .limit(poolSize)
+    lastDensePlan = scored.queryExecution.sparkPlan.toString
     scored.select(col("chunkId"), col("docId"), col("source"), col("page"),
         col("chunkIdx"), col("text"), col("meta"), col("bscore"))
       .as[(Long, Long, String, Int, Int, String, graft.corpus.ChunkMeta, Double)]

@@ -177,8 +177,19 @@ object Wand {
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(liveTerms: _*))
       .as[BlockRow]
     val perShard = blocks.groupByKey(_.shard).mapGroups { (_, it) =>
-      val byTerm = it.toIndexedSeq.groupBy(_.term)
-      wandShard(byTerm, termOrder, weights, k, k1, b, avgdl)
+      // Single streaming pass over the group: group blocks by term as they
+      // arrive instead of it.toIndexedSeq + groupBy (which held two copies
+      // of every block row of the shard in one heap). Per-shard memory is
+      // additionally bounded at build time: nDocShards auto-scales so a
+      // shard never exceeds ~250k docs (BuildConfig.resolveDocShards).
+      val byTerm = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[BlockRow]]
+      it.foreach { r =>
+        byTerm.getOrElseUpdate(r.term,
+          scala.collection.mutable.ArrayBuffer.empty[BlockRow]) += r
+      }
+      wandShard(byTerm.view.mapValues(_.toIndexedSeq).toMap,
+        termOrder, weights, k, k1, b, avgdl)
     }.collect()
 
     perShard.iterator.flatten.toSeq

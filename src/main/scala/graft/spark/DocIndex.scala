@@ -28,7 +28,7 @@ object DocIndex {
       val paths = IndexPaths(
         java.nio.file.Files.createTempDirectory("graft-docindex").toString)
       IndexBuilder.build(spark, docs, paths,
-        BuildConfig(nTermBuckets = TermBuckets, nDocShards = 4,
+        BuildConfig(nTermBuckets = TermBuckets, nDocShards = 0,
           shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "8").toInt))
       (paths, new SparkBackend(spark, paths))
     })

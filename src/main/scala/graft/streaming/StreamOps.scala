@@ -50,9 +50,24 @@ object StreamOps {
     else hashed.dropDuplicates("text_hash")
   }
 
+  /** Epoch microseconds of a Timestamp — the batch sessionize query
+    * compares `unix_micros`, so the streaming path must use the identical
+    * granularity: a gap in (1800.000, 1800.001] s must classify the same
+    * way on both paths (`getTime` is only millisecond-grained).
+    */
+  private[graft] def micros(ts: Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  private def fromMicros(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
   /** Stateful sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState (event-time-ish using processing-time timeout
-    * as the close signal; emits updates per batch).
+    * as the close signal; emits updates per batch). State timestamps are
+    * epoch micros, matching the batch query's unix_micros semantics.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
@@ -60,22 +75,22 @@ object StreamOps {
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
           for (e <- sorted) {
-            val t = e.ts.getTime
+            val t = micros(e.ts)
             if (st == null) st = SessionState(t, t, 1, e.value)
-            else if (t - st.last > gapSeconds * 1000) {
-              out += SessionUpdate(userId, new Timestamp(st.start),
-                new Timestamp(st.last), st.n, st.total, closed = true)
+            else if (t - st.last > gapSeconds * 1000000L) {
+              out += SessionUpdate(userId, fromMicros(st.start),
+                fromMicros(st.last), st.n, st.total, closed = true)
               st = SessionState(t, t, 1, e.value)
             } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
           }
           if (st != null) {
             state.update(st)
-            out += SessionUpdate(userId, new Timestamp(st.start),
-              new Timestamp(st.last), st.n, st.total, closed = false)
+            out += SessionUpdate(userId, fromMicros(st.start),
+              fromMicros(st.last), st.n, st.total, closed = false)
           }
           out.iterator
       }

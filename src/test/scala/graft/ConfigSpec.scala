@@ -33,6 +33,42 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg("paths").asInstanceOf[GraftConfig.Tree]("cache_dir") == "/x/y z")
   }
 
+  test("yaml parse: inline lists w/ continuation, dash lists, quoted '#'") {
+    // exactly the shapes in the reference's shipped config.yaml
+    // (bonuses.patterns spans lines) — these must load, never crash
+    val cfg = GraftConfig.parseYaml(
+      """bonuses:
+        |  patterns:
+        |    enabled: true
+        |    patterns: [" is a ", " we define ", # trailing comment
+        |               " method ", " methodology "]
+        |    weight_per_hit: 0.05
+        |tags:
+        |  - alpha
+        |  - beta
+        |note: "keep # this"
+        |weird_line_without_colon
+        |k: 3
+        |""".stripMargin)
+    val pats = cfg("bonuses").asInstanceOf[GraftConfig.Tree]("patterns")
+      .asInstanceOf[GraftConfig.Tree]
+    assert(pats("enabled") == true)
+    assert(pats("patterns") == Seq(" is a ", " we define ", " method ", " methodology "))
+    assert(pats("weight_per_hit") == 0.05)
+    assert(cfg("tags") == Seq("alpha", "beta"))
+    assert(cfg("note") == "keep # this")
+    assert(cfg("k") == 3L)
+    // the reference repo's own config.yaml parses end-to-end
+    val ref = new java.io.File("/root/reference/config.yaml")
+    if (ref.isFile) {
+      val t = GraftConfig.loadFile(ref.getPath)
+      assert(t.contains("bonuses"))
+      val refPats = GraftConfig.getPath(t, Seq("bonuses", "patterns", "patterns"))
+      assert(refPats.isInstanceOf[Seq[_]] &&
+        refPats.asInstanceOf[Seq[_]].contains(" is a "))
+    }
+  }
+
   test("precedence: defaults < yaml < env < cli") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cfg")
     val yaml = dir.resolve("config.yaml")
@@ -86,7 +122,7 @@ class ConfigSpec extends AnyFunSuite {
   private val M = new com.fasterxml.jackson.databind.ObjectMapper()
 
   test("subprocess: query request envelope") {
-    val (resp, code) = Subprocess.handle("""{"query": "hello world"}""", deps(), Map.empty)
+    val (resp, code) = Subprocess.handle("""{"query": "hello world"}""", deps())
     assert(code == 0)
     val n = M.readTree(resp)
     assert(n.get("success").asBoolean())
@@ -100,6 +136,68 @@ class ConfigSpec extends AnyFunSuite {
     assert(n.get("confidence").get("level").asText() == "high")
   }
 
+  test("subprocess batch mode: per-query envelopes, isolated failures, config merge") {
+    // a 3-query batch: plain string, object with per-query config, and a
+    // malformed entry -> reference envelope per query + totals
+    var seenTopK = List.empty[Long]
+    val d = Subprocess.Deps(
+      runQuery = (q, cfg) => {
+        seenTopK :+= GraftConfig.long(cfg, "rerank", "final_top_k")
+        if (q == "boom") throw new RuntimeException("engine exploded")
+        fakeOutput
+      },
+      listCollections = _ => Nil)
+    val batch =
+      """{"queries": [
+        |  "plain query",
+        |  {"query": "tuned query", "config": {"rerank": {"final_top_k": 3}}},
+        |  42,
+        |  "boom"
+        |]}""".stripMargin
+    val Right(out) = Subprocess.handleBatch(batch, d,
+      GraftConfig.defaults): @unchecked
+    val n = M.readTree(out)
+    assert(n.get("total_queries").asInt() == 4)
+    assert(n.get("successful_queries").asInt() == 2)
+    val rs = n.get("batch_results")
+    assert(rs.size() == 4)
+    assert(rs.get(0).get("success").asBoolean() &&
+      rs.get(0).get("query").asText() == "plain query" &&
+      rs.get(0).get("count").asInt() == 1 && rs.get(0).get("error").isNull)
+    assert(rs.get(1).get("success").asBoolean() &&
+      rs.get(1).get("query").asText() == "tuned query")
+    assert(!rs.get(2).get("success").asBoolean() &&
+      rs.get(2).get("error").asText() == "Invalid query format" &&
+      rs.get(2).get("query").asText() == "42")
+    assert(!rs.get(3).get("success").asBoolean() &&
+      rs.get(3).get("error").asText() == "engine exploded" &&
+      rs.get(3).get("count").asInt() == 0)
+    // per-query config merged over the base (default final_top_k is 8)
+    assert(seenTopK == List(
+      GraftConfig.long(GraftConfig.defaults, "rerank", "final_top_k"), 3L,
+      GraftConfig.long(GraftConfig.defaults, "rerank", "final_top_k")))
+
+    // structural errors -> Left (reference: stderr + exit 1)
+    assert(Subprocess.handleBatch("""{"nope": 1}""", d, GraftConfig.defaults)
+      == Left("Batch file must contain a 'queries' array"))
+    assert(Subprocess.handleBatch("""{"queries": "x"}""", d, GraftConfig.defaults)
+      == Left("'queries' must be an array"))
+    assert(Subprocess.handleBatch("""not json""", d, GraftConfig.defaults).isLeft)
+  }
+
+  test("subprocess config is env-insensitive (reference process_config)") {
+    // GRAFT_* env overrides apply on the CLI path only; the subprocess
+    // builds defaults -> file -> inline config (subprocess_interface.py:136)
+    val (resp, code) = Subprocess.handle(
+      """{"type": "config", "config": {"bm25": {"b": 0.9}}}""", deps())
+    assert(code == 0)
+    val cfg = M.readTree(resp).get("config")
+    assert(cfg.get("bm25").get("b").asDouble() == 0.9)
+    // inline wins; defaults fill the rest
+    assert(cfg.get("bm25").get("k1").asDouble() ==
+      GraftConfig.defaults("bm25").asInstanceOf[GraftConfig.Tree]("k1"))
+  }
+
   test("subprocess: validation errors use the error envelope, exit 1") {
     for ((in, msg) <- Seq(
       ("""[1,2]""", "Input must be a JSON object"),
@@ -111,7 +209,7 @@ class ConfigSpec extends AnyFunSuite {
       ("""{"type": "summary", "query": "x"}""",
         "Missing or invalid 'chunks' field for summary request"),
       ("""not json at all""", null))) {
-      val (resp, code) = Subprocess.handle(in, deps(), Map.empty)
+      val (resp, code) = Subprocess.handle(in, deps())
       assert(code == 1, in)
       val n = M.readTree(resp)
       assert(!n.get("success").asBoolean(), in)
@@ -122,7 +220,7 @@ class ConfigSpec extends AnyFunSuite {
   }
 
   test("subprocess: collections request") {
-    val (resp, code) = Subprocess.handle("""{"type": "collections"}""", deps(), Map.empty)
+    val (resp, code) = Subprocess.handle("""{"type": "collections"}""", deps())
     assert(code == 0)
     val n = M.readTree(resp)
     assert(n.get("success").asBoolean())
@@ -132,7 +230,7 @@ class ConfigSpec extends AnyFunSuite {
 
   test("subprocess: config request echoes the resolved config with overrides") {
     val (resp, code) = Subprocess.handle(
-      """{"type": "config", "config": {"bm25": {"k1": 2.5}}}""", deps(), Map.empty)
+      """{"type": "config", "config": {"bm25": {"k1": 2.5}}}""", deps())
     assert(code == 0)
     val n = M.readTree(resp)
     assert(n.get("success").asBoolean())
@@ -144,7 +242,7 @@ class ConfigSpec extends AnyFunSuite {
     val (resp, code) = Subprocess.handle(
       """{"type": "summary", "query": "q", "chunks":
          ["First sentence one is long enough. Second sentence.",
-          "Another chunk sentence that is long. Tail."]}""", deps(), Map.empty)
+          "Another chunk sentence that is long. Tail."]}""", deps())
     assert(code == 0)
     val n = M.readTree(resp)
     assert(n.get("success").asBoolean())
@@ -156,7 +254,7 @@ class ConfigSpec extends AnyFunSuite {
     val boom = Subprocess.Deps(
       runQuery = (_, _) => throw new RuntimeException("kaput"),
       listCollections = _ => Nil)
-    val (resp, code) = Subprocess.handle("""{"query": "x"}""", boom, Map.empty)
+    val (resp, code) = Subprocess.handle("""{"query": "x"}""", boom)
     assert(code == 1)
     val n = M.readTree(resp)
     assert(!n.get("success").asBoolean())

@@ -13,16 +13,16 @@ import graft.query.{PipelineConfig, SparkBackend}
 class SparkBoundedPoolSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
-  private lazy val backend = {
+  private lazy val (paths, backend) = {
     import spark.implicits._
     val pages = WebPages.generate(spark, 2000, 42, 8)
       .map(p => PageDoc(p.url, 1, p.text, None))
     val chunks = ChunkerJob.chunk(pages, ChunkerConfig())
-    val paths = IndexPaths(
+    val p = IndexPaths(
       java.nio.file.Files.createTempDirectory("graft-bounded").toString)
-    IndexBuilder.build(spark, chunks, paths,
+    IndexBuilder.build(spark, chunks, p,
       BuildConfig(nTermBuckets = 8, nDocShards = 2, shufflePartitions = 8))
-    new SparkBackend(spark, paths)
+    (p, new SparkBackend(spark, p))
   }
 
   private val queries = Seq(
@@ -47,6 +47,38 @@ class SparkBoundedPoolSpec extends AnyFunSuite {
       }
     }
     assert(engaged > 0, "bounded path never engaged — safety bound broken or corpus too small")
+  }
+
+  test("head-term dense pass above the matched-doc ceiling never broadcasts") {
+    import spark.implicits._
+    // synthetic head-term query: the most frequent indexed term, guaranteed
+    // to route topPool through the dense fallback (df > nDocs/2 on a Zipf
+    // corpus) rather than the bounded WAND path
+    val head = spark.read.parquet(paths.termStats)
+      .orderBy(org.apache.spark.sql.functions.desc("df"))
+      .select("term").as[String].head()
+    val q = s"$head learning"
+    assert(backend.dfFor(Seq(head))(head) > backend.stats.nDocs / 2,
+      s"setup: '$head' must be a head term")
+    // the corpus-score join is on chunkId; the inner broadcast of the
+    // <=10-row query-term frame inside scoresDF is legitimate at any scale
+    def chunkIdJoin(plan: String, kind: String): Boolean =
+      plan.linesIterator.exists(l => l.contains(kind) && l.contains("[chunkId"))
+    val before = backend.topPool(q, q, 20, PipelineConfig())
+    assert(backend.lastPoolPath == "dense") // head term skipped bounded path
+    assert(backend.lastDenseJoin == "broadcast") // tiny corpus: under ceiling
+    assert(chunkIdJoin(backend.lastDensePlan, "BroadcastHashJoin"))
+    backend.denseBroadcastMaxMatched = 0 // force every query over the ceiling
+    try {
+      val after = backend.topPool(q, q, 20, PipelineConfig())
+      assert(backend.lastDenseJoin == "shuffle-hash")
+      assert(!chunkIdJoin(backend.lastDensePlan, "BroadcastHashJoin"),
+        s"corpus-sized broadcast still planned:\n${backend.lastDensePlan}")
+      assert(chunkIdJoin(backend.lastDensePlan, "ShuffledHashJoin"),
+        s"expected shuffled hash join:\n${backend.lastDensePlan}")
+      assert(after.map(p => (p._1.chunkId, p._2)) == before.map(p => (p._1.chunkId, p._2)),
+        "shuffle-hash dense pass changed the pool")
+    } finally backend.denseBroadcastMaxMatched = 50L * 1000 * 1000
   }
 
   test("chunk-bucketed index (pruned candidate fetch) returns identical pools") {

@@ -140,6 +140,45 @@ class SparkIndexParitySpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("doc-shard auto mode scales with corpus; WAND parity holds past 4 shards") {
+    // auto (nDocShards = 0, the default) must grow shard count with the
+    // corpus so WAND's per-shard task parallelism is never capped at a
+    // constant: one shard never exceeds ~250k docs.
+    val auto = BuildConfig() // default is auto
+    assert(auto.nDocShards == 0)
+    assert(auto.resolveDocShards(1000L) == 4)
+    assert(auto.resolveDocShards(1000000L) == 5)
+    assert(auto.resolveDocShards(10000000L) == 41)
+    assert(auto.resolveDocShards(2000000000L) == 4096) // capped
+    assert(BuildConfig(nDocShards = 7).resolveDocShards(1000L) == 7) // explicit wins
+
+    // an index with >4 shards stays rank- and score-identical
+    import spark.implicits._
+    val texts = (0 until 120).map(i => s"omega theta phi-$i shard test corpus row number $i")
+    val chunks = texts.zipWithIndex.map { case (t, i) =>
+      graft.corpus.ChunkRow(i.toLong, i.toLong, s"s$i", 1, 0, t, graft.corpus.ChunkMeta())
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards7").toString
+    val p = IndexPaths(dir)
+    IndexBuilder.build(spark, spark.createDataset(chunks), p,
+      BuildConfig(nTermBuckets = 4, nDocShards = 7, shufflePartitions = 8))
+    val nShards = spark.read.parquet(p.blocks).select("shard").distinct().count()
+    assert(nShards > 4, s"expected >4 distinct shards, got $nShards")
+    val be = new graft.query.SparkBackend(spark, p)
+    val lb = new LocalBackend(chunks.toIndexedSeq)
+    for (q <- Seq("omega theta", "shard test corpus", "row number test")) {
+      val toks = graft.analysis.Analyzer.tokenize(q).toIndexedSeq
+      val wand = Wand.topK(spark, p, be.stats, q, 10, be.idfFor)
+      val dense = lb.denseScores(toks).zipWithIndex
+        .filter(_._1 != 0.0).sortBy { case (s, i) => (-s, i.toLong) }
+        .take(10).map { case (s, i) => (i.toLong, s) }.toSeq
+      assert(wand.map(_._1) == dense.map(_._1), s"'$q': $wand vs $dense")
+      wand.zip(dense).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9)
+      }
+    }
+  }
+
   test("metrics and manifest are written") {
     val metrics = spark.read.parquet(paths.metrics)
     assert(metrics.count() > 0)

@@ -38,6 +38,32 @@ class StreamOpsSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("sessionize gap boundary is microsecond-exact, matching batch unix_micros") {
+    import spark.implicits._
+    // Batch semantics: new session iff unix_micros(ts) - unix_micros(prev)
+    // > 1_800_000_000. A gap of 1800.0004 s exceeds that by 400 us and must
+    // split — but getTime-based ms arithmetic truncates it to exactly
+    // 1_800_000 ms (not >) and would keep one session. A gap of
+    // 1799.9996 s must not split on either path.
+    def tsMicros(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt) // full sub-second nanos
+      t
+    }
+    val base = 1704067200000000L
+    assert(StreamOps.micros(tsMicros(base + 1800000400L)) - StreamOps.micros(tsMicros(base))
+      == 1800000400L)
+    def sessions(gapUs: Long): Int = {
+      val ds = Seq(
+        Event(1, tsMicros(base), 9, "click", 1.0),
+        Event(2, tsMicros(base + gapUs), 9, "click", 1.0)).toDS()
+      // one update = single open session; two = closed + new open (split)
+      StreamOps.sessionize(ds).collect().length
+    }
+    assert(sessions(1800000400L) == 2, "gap 1800.0004s must split (batch: > 1800s)")
+    assert(sessions(1799999600L) == 1, "gap 1799.9996s must stay one session")
+  }
+
   test("watermarked hourly counts over a stream match batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,71 @@
+#!/usr/bin/env bash
+# Build-scaling isolation experiment (VERDICT r2 directive #3):
+# is the 4->16-core full-build efficiency gap our shuffle design, or the
+# host's memory/tmpfs floor? Three measurements on identical 20k-page
+# builds (graft.GraftCli query-free "directbuild" path):
+#   A) one JVM, local[4]            -> T4      (baseline throughput/core)
+#   B) one JVM, local[16]           -> T16     (in-process scaling)
+#   C) four CONCURRENT JVMs, local[4] each, disjoint spark.local.dirs and
+#      index dirs                   -> T4x4    (process-isolated scaling:
+#      no shared shuffle state, no shared JVM — only the host is shared)
+# If (4*nPages/T4x4) / (4 * nPages/T4) is also well below 1, the residual
+# is host bandwidth, not the engine's exchange design.
+#
+# Usage: tools/build_scaling.sh [nPages]   (default 20000)
+# Requires: sbt compiled classes (sbt compile) + /opt/spark/jars.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+NPAGES="${1:-20000}"
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS+=" --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS+=" --add-opens java.base/$p=ALL-UNNAMED"
+done
+export MALLOC_MMAP_THRESHOLD_=268435456 MALLOC_TRIM_THRESHOLD_=268435456 MALLOC_ARENA_MAX=8
+
+run_build() { # cores heap localdir ixdir logfile
+  local cores="$1" heap="$2" localdir="$3" ixdir="$4" log="$5"
+  rm -rf "$ixdir" "$localdir"; mkdir -p "$localdir"
+  SPARK_GRAFT_CPUS="$cores" SPARK_LOCAL_DIRS="$localdir" \
+  java $ADD_OPENS -Xms"$heap" -Xmx"$heap" -XX:+AlwaysPreTouch \
+    -Dspark.ui.enabled=false -cp "$CP" \
+    graft.GraftCli directbuild "$ixdir" "$NPAGES" >"$log" 2>&1
+}
+
+extract_secs() { grep -o 'directbuild .* in [0-9.]*s' "$1" | grep -o '[0-9.]*s' | tr -d s; }
+
+BASE=/dev/shm/graft-scalx
+rm -rf "$BASE"; mkdir -p "$BASE"
+
+echo "== A: single JVM local[4], warm-up + timed =="
+run_build 4 6g "$BASE/l4" "$BASE/ix4" "$BASE/a.log"
+T4=$(extract_secs "$BASE/a.log"); echo "T4=${T4}s"
+
+echo "== B: single JVM local[16] =="
+run_build 16 12g "$BASE/l16" "$BASE/ix16" "$BASE/b.log"
+T16=$(extract_secs "$BASE/b.log"); echo "T16=${T16}s"
+
+echo "== C: four concurrent JVMs local[4] =="
+START=$(date +%s.%N)
+for i in 1 2 3 4; do
+  run_build 4 6g "$BASE/c$i" "$BASE/ixc$i" "$BASE/c$i.log" &
+done
+wait
+END=$(date +%s.%N)
+T4X4=$(echo "$END - $START" | bc); echo "T4x4(wall)=${T4X4}s"
+for i in 1 2 3 4; do echo "  jvm$i: $(extract_secs "$BASE/c$i.log")s"; done
+
+python3 - "$T4" "$T16" "$T4X4" "$NPAGES" <<'EOF'
+import sys
+t4, t16, t4x4, n = float(sys.argv[1]), float(sys.argv[2]), float(sys.argv[3]), int(sys.argv[4])
+inproc = (t4 / t16) / 4
+isolated = (4 * n / t4x4) / (4 * (n / t4))
+print(f"in-process 4->16 efficiency: {inproc:.3f}")
+print(f"process-isolated 4x(4-core) efficiency: {isolated:.3f}")
+print("=> residual below 1.0 in the ISOLATED case is host bandwidth, not engine design")
+EOF
+rm -rf "$BASE"

@@ -53,6 +53,17 @@ for name in sorted(oracles):
     got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
     got_cols = [d[0] for d in con.description]
     try:
+        exp_rel = con.sql(sql)
+        # The driver's hasher stringifies DECIMAL/HUGEINT cells differently
+        # from int, so any oracle producing such a column hash-fails on the
+        # driver even when .fetchall() (which coerces to Python int) agrees.
+        # Fail loudly here so the builder catches it before the driver does.
+        bad_types = [f"{c}:{t}" for c, t in zip(exp_rel.columns, exp_rel.types)
+                     if "DECIMAL" in str(t).upper() or "HUGEINT" in str(t).upper()]
+        if bad_types:
+            print(f"{name}: ORACLE TYPE ERROR (cast to BIGINT/DOUBLE): {bad_types}")
+            fails += 1
+            continue
         exp = con.execute(sql).fetchall()
         exp_cols = [d[0] for d in con.description]
     except Exception as e:
