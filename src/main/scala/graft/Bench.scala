@@ -91,6 +91,53 @@ object Bench {
     }._2
   }
 
+  /** Process-isolated scaling: `nJvms` CONCURRENT child JVMs, each
+    * local[cores] with its own heap, spark.local.dirs and index dir —
+    * the shape of a real multi-executor cluster (one JVM per executor),
+    * where the north rule's N -> 4N criterion actually lives. Returns the
+    * per-child build seconds (JVM startup/warm-up excluded: each child
+    * reports its own timed build). Efficiency vs the single-JVM same-core
+    * baseline is then T_single / max(child secs): 1.0 = the host adds no
+    * contention and the in-process gap is a single-JVM local-mode
+    * artifact, not an engine or host ceiling.
+    */
+  private def isolatedBuildSecs(cores: Int, nJvms: Int, nPages: Long): Option[Seq[Double]] =
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+      val dirs = (1 to nJvms).map(i => s"$base/graft-iso$i")
+      dirs.foreach(rmTree)
+      val procs = dirs.map { d =>
+        val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+          "-Xms6g", "-Xmx6g", "-XX:+AlwaysPreTouch", "-Dspark.ui.enabled=false",
+          "-cp", cp, "graft.GraftCli", "directbuild", s"$d/ix", nPages.toString))
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_CPUS", cores.toString)
+        pb.environment().put("SPARK_LOCAL_DIRS", s"$d/tmp")
+        pb.redirectErrorStream(true)
+        pb.start()
+      }
+      val outs = procs.map { p =>
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        p.waitFor(); out
+      }
+      dirs.foreach(rmTree)
+      val secs = outs.map(o =>
+        "directbuild \\d+ chunks in ([0-9.]+)s".r
+          .findFirstMatchIn(o).map(_.group(1).toDouble))
+      if (secs.exists(_.isEmpty)) None else Some(secs.flatten)
+    } catch { case _: Throwable => None }
+
   private def buildSecs(s: SparkSession, nPages: Long): (Double, Long, IndexPaths) = {
     import s.implicits._
     val pages = WebPages.generate(s, nPages, 42, s.sparkContext.defaultParallelism * 2)
@@ -147,6 +194,11 @@ object Bench {
     val buildEff = (buildT(small).min / buildT(big).min) / (big.toDouble / small)
     val bestBuild = buildT(big).min
 
+    // process-isolated scaling: big/small concurrent small-core JVMs vs the
+    // single small-core JVM baseline (the multi-executor-cluster shape)
+    val isoSecs = isolatedBuildSecs(small, big / small, nPages)
+    val isoEff = isoSecs.map(ss => buildT(small).min / ss.max)
+
     // 3. query latency on the big index at full parallelism
     val sparkQ = session(cpus)
     val backend = new SparkBackend(sparkQ, queryPaths)
@@ -174,6 +226,10 @@ object Bench {
       s""""wand_p95":${f"${pct(wandLatencies, 0.95)}%.3f"}},""" +
       s""""scaling":{"from_cores":$small,"to_cores":$big,""" +
       s""""map_efficiency":${f"$mapEff%.3f"},"build_efficiency":${f"$buildEff%.3f"},""" +
+      s""""build_efficiency_isolated":${
+        isoEff.map(e => f"$e%.3f").getOrElse("null")},""" +
+      s""""isolated_jvm_secs":${
+        isoSecs.map(_.map(s => f"$s%.1f").mkString("[", ",", "]")).getOrElse("null")},""" +
       s""""map_secs":[${mapT(small).min},${mapT(big).min}],""" +
       s""""build_secs":[${buildT(small).min},${buildT(big).min}]}}""")
   }

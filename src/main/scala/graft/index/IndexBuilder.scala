@@ -142,45 +142,62 @@ object IndexBuilder {
     // query-independent bonuses (reference scoring.py pattern/metadata/
     // gibberish) are functions of the chunk alone — precompute once at
     // build time as chunk-table columns so query-time work is query-derived
-    // only (semantics unchanged; see Scoring.QueryBonusContext)
-    val patternUdf = udf((text: String) => graft.analysis.Scoring.patternBonus(text))
-    val metaUdf = udf((text: String, title: String) =>
-      graft.analysis.Scoring.metadataBonus(text, Option(title)))
-    val gibUdf = udf((text: String) => graft.analysis.Scoring.gibberishPenalty(text))
-    val dlUdf = udf((text: String) => Analyzer.tokenize(text).length)
+    // only (semantics unchanged; see Scoring.QueryBonusContext). ONE udf
+    // computes all four columns: the text string then crosses the
+    // UTF8String boundary once per chunk, not four times. Marked
+    // nondeterministic ONLY to stop Catalyst duplicating the call per
+    // extracted struct field (CollapseProject would otherwise inline it
+    // 4x) — the function itself is pure.
+    val staticUdf = udf((text: String, title: String) => (
+      graft.analysis.Scoring.patternBonus(text),
+      graft.analysis.Scoring.metadataBonus(text, Option(title)),
+      graft.analysis.Scoring.gibberishPenalty(text),
+      Analyzer.tokenize(text).length)).asNondeterministic()
     val chunksOut = chunks.toDF()
-      .withColumn("pattern_b", patternUdf(col("text")))
-      .withColumn("meta_b", metaUdf(col("text"), col("meta.title")))
-      .withColumn("gib", gibUdf(col("text")))
-      .withColumn("dl", dlUdf(col("text")))
-    if (cfg.nChunkBuckets > 0)
-      chunksOut
-        .withColumn("cbucket",
-          pmod(xxhash64(col("chunkId")), lit(cfg.nChunkBuckets)).cast("int"))
-        .repartition(cfg.nChunkBuckets, col("cbucket"))
-        .write.mode(SaveMode.Overwrite).partitionBy("cbucket").parquet(out.chunks)
-    else
-      chunksOut.write.mode(SaveMode.Overwrite).parquet(out.chunks)
-    val chunksDF = spark.read.parquet(out.chunks).as[ChunkRow]
+      .withColumn("__st", staticUdf(col("text"), col("meta.title")))
+      .withColumn("pattern_b", col("__st._1"))
+      .withColumn("meta_b", col("__st._2"))
+      .withColumn("gib", col("__st._3"))
+      .withColumn("dl", col("__st._4"))
+      .drop("__st")
+      // cache: the chunk-table write, the stats scan and the posting
+      // exchange all consume these rows — the analyzer UDFs run once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // the chunk-table parquet commit runs CONCURRENTLY with everything
+    // downstream (stats scan + posting exchange read the cache, not the
+    // file): on one box this hides the commit I/O behind the exchange
+    // compute; on a cluster the jobs just share executors. Awaited before
+    // returning — callers read out.chunks after build().
+    val chunksWrite = scala.concurrent.Future {
+      if (cfg.nChunkBuckets > 0)
+        chunksOut
+          .withColumn("cbucket",
+            pmod(xxhash64(col("chunkId")), lit(cfg.nChunkBuckets)).cast("int"))
+          .repartition(cfg.nChunkBuckets, col("cbucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cbucket").parquet(out.chunks)
+      else
+        chunksOut.write.mode(SaveMode.Overwrite).parquet(out.chunks)
+    }(scala.concurrent.ExecutionContext.global)
 
     // N / avgdl from the denormalized doc-length column — a narrow
     // column-pruned scan, available before the posting exchange so block
     // maxima can be finalized in the same pass.
-    val lenRow = chunksDF.toDF()
+    val lenRow = chunksOut
       .agg(count(lit(1)), sum("dl"), max(col("pattern_b") + col("meta_b"))).head()
     val nDocs = lenRow.getLong(0)
     require(nDocs > 0, "empty corpus")
     val totalTokens = lenRow.getLong(1)
     val maxStaticBonus = lenRow.getDouble(2)
     val avgdl = totalTokens.toDouble / nDocs
-    phase("chunks")
+    phase("chunk-stats")
 
     // ---- compressed block build: the single posting-grain exchange ----
     val metricsAcc: CollectionAccumulator[PartitionMetric] =
       spark.sparkContext.collectionAccumulator[PartitionMetric]("block-build")
     val k1 = cfg.k1; val b = cfg.b; val blockSize = cfg.blockSize
     val nShards = cfg.resolveDocShards(nDocs)
-    val withShard = postings(chunksDF)
+    val withShard = postings(chunksOut.as[ChunkRow])
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(cfg.nTermBuckets)).cast("int"))
       .withColumn("shard", pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int"))
       .repartition(cfg.shufflePartitions, col("bucket"), col("shard"))
@@ -258,7 +275,9 @@ object IndexBuilder {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.termStats)
     dfTable.unpersist()
     scala.concurrent.Await.result(blocksWrite, scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(chunksWrite, scala.concurrent.duration.Duration.Inf)
     blocks.unpersist()
+    chunksOut.unpersist()
     phase("blocks-write+stats")
 
     val wallMs = (System.nanoTime() - t0) / 1000000

@@ -56,7 +56,7 @@ for i in 1 2 3 4; do
 done
 wait
 END=$(date +%s.%N)
-T4X4=$(echo "$END - $START" | bc); echo "T4x4(wall)=${T4X4}s"
+T4X4=$(python3 -c "print(f'{$END - $START:.1f}')"); echo "T4x4(wall)=${T4X4}s"
 for i in 1 2 3 4; do echo "  jvm$i: $(extract_secs "$BASE/c$i.log")s"; done
 
 python3 - "$T4" "$T16" "$T4X4" "$NPAGES" <<'EOF'
