@@ -118,12 +118,16 @@ object Bench {
       val dirs = (1 to nJvms).map(i => s"$base/graft-iso$i")
       dirs.foreach(rmTree)
       val procs = dirs.map { d =>
+        // heap matches the single-JVM baseline (12g) and the timed build
+        // repeats once so the children measure warm-JIT steady state, the
+        // same regime the in-JVM baseline's best-of-3 runs in
         val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
-          "-Xms6g", "-Xmx6g", "-XX:+AlwaysPreTouch", "-Dspark.ui.enabled=false",
+          "-Xms12g", "-Xmx12g", "-XX:+AlwaysPreTouch", "-Dspark.ui.enabled=false",
           "-cp", cp, "graft.GraftCli", "directbuild", s"$d/ix", nPages.toString))
         val pb = new ProcessBuilder(cmd: _*)
         pb.environment().put("SPARK_GRAFT_CPUS", cores.toString)
         pb.environment().put("SPARK_LOCAL_DIRS", s"$d/tmp")
+        pb.environment().put("SPARK_GRAFT_BUILD_REPS", "2")
         pb.redirectErrorStream(true)
         pb.start()
       }

@@ -240,18 +240,26 @@ object GraftCli {
         val pages = WebPages.generate(spark, nPages, 42,
           spark.sparkContext.defaultParallelism * 2)
           .map(p => PageDoc(p.url, 1, p.text, None))
-        // same-shape warm-up then timed direct build
+        // same-shape warm-up then timed direct build; SPARK_GRAFT_BUILD_REPS
+        // > 1 repeats the timed build and reports the best (a cold JVM's
+        // first full build pays JIT compilation — repetitions measure the
+        // steady state the in-JVM scaling baselines run at)
         IndexBuilder.build(spark,
           graft.corpus.ChunkerJob.chunk(pages.limit(1000), ChunkerConfig()),
           IndexPaths(s"${paths.root}-warm"),
           BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism))
-        val t0 = System.nanoTime()
-        val stats = IndexBuilder.build(spark,
-          graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()), paths,
-          BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism))
-        val secs = (System.nanoTime() - t0) / 1e9
-        println(f"[graft] directbuild ${stats.nDocs} chunks in $secs%.1fs " +
-          f"(${nPages / secs}%.0f pages/s)")
+        val reps = sys.env.getOrElse("SPARK_GRAFT_BUILD_REPS", "1").toInt
+        var best = Double.MaxValue
+        var lastStats: graft.index.GlobalStats = null
+        for (_ <- 1 to math.max(1, reps)) {
+          val t0 = System.nanoTime()
+          lastStats = IndexBuilder.build(spark,
+            graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()), paths,
+            BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism))
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"[graft] directbuild ${lastStats.nDocs} chunks in $best%.1fs " +
+          f"(${nPages / best}%.0f pages/s)")
       case "explain" =>
         val backend = new SparkBackend(spark, paths)
         val q = if (args.length > 2) args.drop(2).mkString(" ") else "nobel prize physics"
