@@ -11,6 +11,9 @@ import graft.query.{Pipeline, PipelineConfig, SparkBackend, Wand}
   *   graft.GraftCli query  <indexDir> <query...>        — full fusion pipeline
   *   graft.GraftCli wand   <indexDir> <query...>        — block-max WAND top-k
   *   graft.GraftCli stats  <indexDir>                   — manifest + metrics
+  *   graft.GraftCli subprocess <indexDir> [reqFile]     — one JSON request
+  *   graft.GraftCli subprocess <indexDir> --batch <f> [--output <f>]
+  *                                                      — batch query mode
   */
 object GraftCli {
 
