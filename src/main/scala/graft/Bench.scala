@@ -198,11 +198,6 @@ object Bench {
     val buildEff = (buildT(small).min / buildT(big).min) / (big.toDouble / small)
     val bestBuild = buildT(big).min
 
-    // process-isolated scaling: big/small concurrent small-core JVMs vs the
-    // single small-core JVM baseline (the multi-executor-cluster shape)
-    val isoSecs = isolatedBuildSecs(small, big / small, nPages)
-    val isoEff = isoSecs.map(ss => buildT(small).min / ss.max)
-
     // 3. query latency on the big index at full parallelism
     val sparkQ = session(cpus)
     val backend = new SparkBackend(sparkQ, queryPaths)
@@ -214,6 +209,13 @@ object Bench {
     sparkQ.stop()
     rmTree(queryPaths.root)
     rmTree("/dev/shm/graft-spark")
+
+    // 4. process-isolated scaling LAST: big/small concurrent small-core
+    // JVMs vs the single small-core JVM baseline (the multi-executor-
+    // cluster shape). Runs after every in-process timing so its 4x12g
+    // pretouched child heaps cannot pollute the latency/catalog phases.
+    val isoSecs = isolatedBuildSecs(small, big / small, nPages)
+    val isoEff = isoSecs.map(ss => buildT(small).min / ss.max)
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

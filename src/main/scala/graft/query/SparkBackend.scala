@@ -246,9 +246,15 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
     */
   private[graft] var denseBroadcastMaxMatched: Long = 50L * 1000 * 1000
 
-  /** Diagnostics: join strategy + physical plan of the last dense pass. */
+  /** Diagnostics: join strategy + the last dense pass's frame. The plan
+    * string is derived lazily (`lastDensePlan`) — eagerly stringifying
+    * `sparkPlan` here would run a second full Catalyst planning pass per
+    * dense pool call on the hot path.
+    */
   @volatile var lastDenseJoin: String = ""
-  @volatile var lastDensePlan: String = ""
+  @volatile private var lastDenseDF: DataFrame = _
+  def lastDensePlan: String =
+    if (lastDenseDF == null) "" else lastDenseDF.queryExecution.sparkPlan.toString
 
   /** Reference-exact dense pass: bonuses on every chunk, distributed top-k. */
   private def densePool(ctx: Scoring.QueryBonusContext,
@@ -279,7 +285,7 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
         col("pattern_b"), col("meta_b"), col("gib")))
       .orderBy(desc("bscore"), asc("source"), asc("page"), asc("chunkIdx"))
       .limit(poolSize)
-    lastDensePlan = scored.queryExecution.sparkPlan.toString
+    lastDenseDF = scored
     scored.select(col("chunkId"), col("docId"), col("source"), col("page"),
         col("chunkIdx"), col("text"), col("meta"), col("bscore"))
       .as[(Long, Long, String, Int, Int, String, graft.corpus.ChunkMeta, Double)]
