@@ -428,6 +428,27 @@ for trial in range(6):
         "phrase": ref_rerank.phrase_boost(q, doc)})
 misc["rerank_internals"] = rr_cases
 
+# simple_tfidf_vectors / cosine_similarity_sparse (diversity.py:24-100) —
+# dead code in the reference (never called) but part of the §2.10 surface;
+# fresh RNG so the existing goldens' draw sequence is untouched
+from lightweight_rag.diversity import simple_tfidf_vectors, cosine_similarity_sparse
+rng4 = random.Random(777)
+tfidf_cases = []
+for n in (3, 6, 10):
+    texts = [" ".join(rng4.choice(WORDS) for _ in range(rng4.randint(4, 25)))
+             for _ in range(n)]
+    q = " ".join(rng4.choice(WORDS) for _ in range(3))
+    vecs, qvec = simple_tfidf_vectors(texts, q)
+    sims = [cosine_similarity_sparse(v, qvec) for v in vecs]
+    pair_sims = [cosine_similarity_sparse(vecs[i], vecs[j])
+                 for i in range(len(vecs)) for j in range(i + 1, len(vecs))]
+    tfidf_cases.append({
+        "texts": texts, "query": q,
+        "vectors": [{k: v for k, v in sorted(vec.items())} for vec in vecs],
+        "query_vector": {k: v for k, v in sorted(qvec.items())},
+        "query_sims": sims, "pair_sims": pair_sims})
+misc["tfidf_fallback"] = tfidf_cases
+
 dump("misc_vectors.json", misc)
 
 # citekey fallback assignment goldens (io_pdf.py:558-606)
