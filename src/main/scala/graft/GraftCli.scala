@@ -163,6 +163,7 @@ object GraftCli {
         }
         t("scoresDF.count")(backend.scoresDF(toks).count())
         t("topPool")(backend.topPool(q, q, 200, PipelineConfig()))
+        println(s"[graft] pool path=${backend.lastPoolPath} iters=${backend.lastPoolIters}")
         t("searchTopK")(Pipeline.searchTopK(backend, q, PipelineConfig()))
       case "qbench" =>
         val backend = new SparkBackend(spark, paths)

@@ -171,18 +171,37 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
     val slack = 1e-6
     var m = math.max(4 * poolSize, poolSize + 200)
     val mCap = 64 * poolSize
+    var iters = 0
+    // WAND's candidate order is a deterministic total order, so top-4m is
+    // a superset of top-m: across retry rounds only the NEW candidates need
+    // the chunk fetch + exact re-score + driver bonus pass (the difflib
+    // fuzzy term dominates); previous rounds' scores are exact and reusable.
+    val scoredCache = scala.collection.mutable.HashMap.empty[Long, (ChunkRow, Double)]
     while (m <= mCap) {
+      iters += 1
+      lastPoolIters = iters
       val cand = Wand.topK(spark, paths, stats, bm25Query, m, idfFor)
       if (cand.isEmpty) return None
       val exhausted = cand.length < m // all matched docs are candidates
       val wandMinBase = cand.iterator.map(_._2).min
-      val rows = fetchChunks(cand.map(_._1))
+      val newIds = cand.map(_._1).filterNot(scoredCache.contains)
+      val rows = fetchChunks(newIds)
       val exactBase = bm25ScoresFor(bmTokens, rows.map(_._1))
-      val scored = scoreCandidates(ctx, rows, exactBase)
+      scoreCandidatesInto(ctx, rows, exactBase, scoredCache)
+      val scored = cand.iterator.flatMap(c => scoredCache.get(c._1)).toIndexedSeq
+        .sortBy { case (c, s) => (-s, c.source, c.page, c.chunkIdx) }
       if (scored.length >= poolSize) {
         val theta = scored(poolSize - 1)._2
         val excludedUpper = (if (exhausted) 0.0 else wandMinBase) + bMax + slack
         if (excludedUpper < theta) return Some(scored.take(poolSize).toIndexedSeq)
+        // Cost-based futility cut (parity-safe: the dense fallback is the
+        // reference-exact plan, this only skips retries that rarely pay):
+        // excluded docs always have base >= 0, so the bound can never hold
+        // until theta exceeds bMax. If the P-th candidate's bonused score
+        // is still below bMax after a full round, two more 4x WAND +
+        // re-score rounds are unlikely to lift theta past it — serve dense
+        // now instead of paying both paths.
+        if (!exhausted && theta <= bMax + slack) return None
       }
       if (exhausted) return None // growing m cannot add candidates
       m *= 4
@@ -190,20 +209,24 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
     None
   }
 
+  /** Diagnostics: bounded-pool iterations of the last topPool call. */
+  @volatile var lastPoolIters: Int = 0
+
   /** Bonus-score the candidates in parallel on the driver (pure function
-    * per row; the difflib fuzzy pass dominates for long queries) and sort
-    * by the pool's deterministic order.
+    * per row; the difflib fuzzy pass dominates for long queries) into the
+    * given cache; callers sort by the pool's deterministic order.
     */
-  private def scoreCandidates(ctx: Scoring.QueryBonusContext,
-                              rows: IndexedSeq[(ChunkRow, (Double, Double, Double))],
-                              exactBase: Map[Long, Double])
-      : IndexedSeq[(ChunkRow, Double)] = {
+  private def scoreCandidatesInto(ctx: Scoring.QueryBonusContext,
+                                  rows: IndexedSeq[(ChunkRow, (Double, Double, Double))],
+                                  exactBase: Map[Long, Double],
+                                  into: scala.collection.mutable.HashMap[Long, (ChunkRow, Double)])
+      : Unit = {
     val out = new Array[(ChunkRow, Double)](rows.length)
     java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
       val (c, (pb, mb, gib)) = rows(i)
       out(i) = (c, ctx.score(exactBase.getOrElse(c.chunkId, 0.0), c.text, pb, mb, gib))
     }
-    out.toIndexedSeq.sortBy { case (c, s) => (-s, c.source, c.page, c.chunkIdx) }
+    out.foreach { case (c, s) => into(c.chunkId) = (c, s) }
   }
 
   // chunk-bucket partition pruning for candidate fetches (present when the
