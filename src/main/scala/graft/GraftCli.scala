@@ -79,7 +79,9 @@ object GraftCli {
               case Left(err) =>
                 System.err.println(s"Error: $err")
                 spark.stop(); sys.exit(1)
-              case Right(json) =>
+              case Right(json0) =>
+                val json = if (overrides.contains("pretty"))
+                  graft.config.Subprocess.prettify(json0) else json0
                 overrides.get("output") match {
                   case Some(out) =>
                     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
@@ -94,7 +96,8 @@ object GraftCli {
                 java.nio.file.Files.readString(java.nio.file.Paths.get(args(2)))
               else scala.io.Source.stdin.mkString
             val (resp, code) = graft.config.Subprocess.handle(input, deps)
-            println(resp)
+            println(if (overrides.contains("pretty"))
+              graft.config.Subprocess.prettify(resp) else resp)
             spark.stop()
             sys.exit(code)
         }

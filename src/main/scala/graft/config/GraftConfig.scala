@@ -254,7 +254,9 @@ object GraftConfig {
     "semantic-topn" -> Seq("rerank", "semantic", "topn"))
 
   private val InvertedFlags = Set("no-prox", "no-diversity")
-  private val BooleanFlags = Set("rm3", "no-prox", "no-diversity")
+  // "pretty" maps to no config path; listing it here only makes the parser
+  // treat it as a bare flag (it must never consume the next positional)
+  private val BooleanFlags = Set("rm3", "no-prox", "no-diversity", "pretty")
 
   def applyCli(cfg: Tree, cli: Map[String, String]): Tree =
     CliMappings.foldLeft(cfg) { case (acc, (arg, path)) =>

@@ -297,6 +297,12 @@ object Subprocess {
     Right(M.writeValueAsString(o))
   }
 
+  /** Pretty-print a JSON document (reference --pretty, indent-2 spirit;
+    * exact whitespace is a human convenience, not a protocol surface).
+    */
+  def prettify(json: String): String =
+    M.writerWithDefaultPrettyPrinter().writeValueAsString(M.readTree(json))
+
   /** Collections = sub-directories of the corpus dir (reference
     * list_collections over pdf_dir).
     */
