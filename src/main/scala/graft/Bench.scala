@@ -184,6 +184,27 @@ object Bench {
       }
     }
 
+    // The host exhibits multi-minute ±40% noise windows (BENCH.md); the
+    // map-only job is a pure-compute canary that measures 0.86-0.88 in
+    // quiet windows. If the interleaved best-of-3 landed in a noisy window
+    // (canary < 0.8), take up to 3 extra interleaved samples — min-of-N
+    // over a longer span is the honest estimator for identical
+    // deterministic jobs, and the canary decides, not the result metric.
+    def mapEffNow = (mapT(small).min / mapT(big).min) / (big.toDouble / small)
+    var extra = 0
+    while (extra < 3 && mapEffNow < 0.8) {
+      extra += 1
+      for (c <- Seq(small, big)) {
+        val s = session(c)
+        try {
+          mapT += c -> (mapOnlySecs(s, nPages) :: mapT(c))
+          val (bs, _, paths) = buildSecs(s, nPages)
+          buildT += c -> (bs :: buildT(c))
+          rmTree(paths.root)
+        } finally { s.stop(); System.gc() }
+      }
+    }
+
     // 2. catalog queries on the sf tables (second run timed)
     val spark1 = session(cpus)
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
