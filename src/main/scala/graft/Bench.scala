@@ -118,11 +118,19 @@ object Bench {
       val dirs = (1 to nJvms).map(i => s"$base/graft-iso$i")
       dirs.foreach(rmTree)
       val procs = dirs.map { d =>
-        // heap matches the single-JVM baseline (12g) and the timed build
-        // repeats once so the children measure warm-JIT steady state, the
-        // same regime the in-JVM baseline's best-of-3 runs in
+        // ActiveProcessorCount pins each child's JIT/GC/common-pool sizing
+        // to its core share — without it every child sizes C2 for the full
+        // 32-core host and four concurrent JIT storms oversubscribe the box
+        // (measured 13x blow-up at small page counts); it is also the
+        // honest executor shape (a cluster executor sees container CPUs).
+        // 6g pretouched heap per child: measured equal to 12g for this
+        // workload, and 4x12g concurrent pretouch costs ~70 CPU-min of
+        // kernel page-zeroing on this host (BENCH.md noise analysis). The
+        // timed build repeats (REPS=2) so children measure warm-JIT steady
+        // state, the regime the in-JVM baseline's best-of-3 runs in.
         val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
-          "-Xms12g", "-Xmx12g", "-XX:+AlwaysPreTouch", "-Dspark.ui.enabled=false",
+          s"-XX:ActiveProcessorCount=$cores",
+          "-Xms6g", "-Xmx6g", "-XX:+AlwaysPreTouch", "-Dspark.ui.enabled=false",
           "-cp", cp, "graft.GraftCli", "directbuild", s"$d/ix", nPages.toString))
         val pb = new ProcessBuilder(cmd: _*)
         pb.environment().put("SPARK_GRAFT_CPUS", cores.toString)

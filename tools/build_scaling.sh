@@ -31,7 +31,8 @@ run_build() { # cores heap localdir ixdir logfile
   local cores="$1" heap="$2" localdir="$3" ixdir="$4" log="$5"
   rm -rf "$ixdir" "$localdir"; mkdir -p "$localdir"
   SPARK_GRAFT_CPUS="$cores" SPARK_LOCAL_DIRS="$localdir" \
-  java $ADD_OPENS -Xms"$heap" -Xmx"$heap" -XX:+AlwaysPreTouch \
+  java $ADD_OPENS -XX:ActiveProcessorCount="$cores" \
+    -Xms"$heap" -Xmx"$heap" -XX:+AlwaysPreTouch \
     -Dspark.ui.enabled=false -cp "$CP" \
     graft.GraftCli directbuild "$ixdir" "$NPAGES" >"$log" 2>&1
 }
