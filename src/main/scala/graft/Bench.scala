@@ -137,13 +137,21 @@ object Bench {
         pb.environment().put("SPARK_LOCAL_DIRS", s"$d/tmp")
         pb.environment().put("SPARK_GRAFT_BUILD_REPS", "2")
         pb.redirectErrorStream(true)
+        // redirect to a file, NOT a pipe: the parent drains children
+        // sequentially, so a child whose output exceeded the pipe buffer
+        // would block on logging writes INSIDE its timed build and
+        // silently inflate the very seconds this phase measures
+        pb.redirectOutput(new java.io.File(s"$d.log"))
         pb.start()
       }
-      val outs = procs.map { p =>
-        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-        p.waitFor(); out
+      val outs = dirs.zip(procs).map { case (d, p) =>
+        p.waitFor()
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$d.log")), "UTF-8")
       }
       dirs.foreach(rmTree)
+      dirs.foreach(d => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$d.log")))
       val secs = outs.map(o =>
         "directbuild \\d+ chunks in ([0-9.]+)s".r
           .findFirstMatchIn(o).map(_.group(1).toDouble))

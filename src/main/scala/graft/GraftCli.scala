@@ -65,14 +65,24 @@ object GraftCli {
           listCollections = graft.config.Subprocess.fsCollections)
         overrides.get("batch") match {
           case Some(batchFile) =>
-            // reference batch config: defaults -> file -> CLI overrides
-            // (no env layer; per-query configs merge on top inside)
-            val baseCfg = graft.config.GraftConfig.applyCli(
-              graft.config.GraftConfig.merge(
-                graft.config.GraftConfig.defaults,
-                overrides.get("config").map(graft.config.GraftConfig.loadFile)
-                  .getOrElse(graft.config.GraftConfig.loadFile("config.yaml"))),
-              overrides -- Seq("batch", "output", "config"))
+            // reference batch config (cli_subprocess.py:142-157): defaults
+            // -> EXPLICIT --config file only (no implicit ./config.yaml —
+            // that auto-load belongs to the subprocess JSON mode's
+            // process_config, not batch) -> the reference's three batch
+            // CLI overrides (--pdf_dir/--cache_dir/--top_k); per-query
+            // configs merge on top inside handleBatch. No env layer.
+            var baseCfg = graft.config.GraftConfig.merge(
+              graft.config.GraftConfig.defaults,
+              overrides.get("config").map(graft.config.GraftConfig.loadFile)
+                .getOrElse(Map.empty: graft.config.GraftConfig.Tree))
+            for ((flag, path) <- Seq(
+                "pdf_dir" -> Seq("paths", "pdf_dir"),
+                "cache_dir" -> Seq("paths", "cache_dir"),
+                "top_k" -> Seq("rerank", "final_top_k"));
+              raw <- overrides.get(flag)) {
+              val v: Any = if (flag == "top_k") raw.toLong else raw
+              baseCfg = graft.config.GraftConfig.setPath(baseCfg, path, v)
+            }
             val input = java.nio.file.Files.readString(
               java.nio.file.Paths.get(batchFile))
             graft.config.Subprocess.handleBatch(input, deps, baseCfg) match {

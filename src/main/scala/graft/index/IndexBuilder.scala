@@ -164,6 +164,15 @@ object IndexBuilder {
       // exchange all consume these rows — the analyzer UDFs run once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Error-path contract: if anything below throws, the detached commits
+    // are drained (a failed build must never leave a background write
+    // racing a caller's retry into the same IndexPaths) and every cache is
+    // released before rethrowing.
+    val pendingWrites = scala.collection.mutable.ListBuffer.empty[scala.concurrent.Future[Unit]]
+    val cleanups = scala.collection.mutable.ListBuffer.empty[() => Unit]
+    cleanups += (() => chunksOut.unpersist())
+    try {
+
     // the chunk-table parquet commit runs CONCURRENTLY with everything
     // downstream (stats scan + posting exchange read the cache, not the
     // file): on one box this hides the commit I/O behind the exchange
@@ -179,6 +188,7 @@ object IndexBuilder {
       else
         chunksOut.write.mode(SaveMode.Overwrite).parquet(out.chunks)
     }(scala.concurrent.ExecutionContext.global)
+    pendingWrites += chunksWrite
 
     // N / avgdl from the denormalized doc-length column — a narrow
     // column-pruned scan, available before the posting exchange so block
@@ -247,9 +257,11 @@ object IndexBuilder {
     // single box this overlaps the commit I/O with the stats shuffle CPU,
     // and on a cluster the two jobs simply share executors.
     blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cleanups += (() => blocks.unpersist())
     val blocksWrite = scala.concurrent.Future {
       blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out.blocks)
     }(scala.concurrent.ExecutionContext.global)
+    pendingWrites += blocksWrite
 
     // ---- statistics (broadcast source) ----
     // df/idf from the block-grain table: a few rows per (term, shard), so
@@ -259,6 +271,7 @@ object IndexBuilder {
       .withColumn("raw_idf",
         log(lit(nDocs.toDouble) - col("df") + 0.5) - log(col("df") + 0.5))
     dfTable.persist()
+    cleanups += (() => dfTable.unpersist())
     val totalsRow = dfTable.agg(count(lit(1)), avg("raw_idf")).head()
     val vocabSize = totalsRow.getLong(0)
     val avgRawIdf = totalsRow.getDouble(1)
@@ -297,6 +310,17 @@ object IndexBuilder {
       "build_wall_ms" -> wallMs.toString,
       "docs_per_sec" -> f"${nDocs.toDouble * 1000 / math.max(1, wallMs)}%.1f"))
     stats
+
+    } catch {
+      case t: Throwable =>
+        pendingWrites.foreach { f =>
+          try scala.concurrent.Await.ready(f,
+            scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES))
+          catch { case _: Throwable => () }
+        }
+        cleanups.foreach(c => try c() catch { case _: Throwable => () })
+        throw t
+    }
   }
 
   def loadStats(spark: SparkSession, out: IndexPaths): GlobalStats = {
