@@ -64,6 +64,41 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sessions(1799999600L) == 1, "gap 1799.9996s must stay one session")
   }
 
+  test("streaming sessionize over the events testdata == oracle-checked batch query") {
+    // replay the real events table through the stream in three micro-batches
+    // and compare per-user session counts against q_events_sessionize (the
+    // driver-oracle-verified batch semantics)
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (StreamOps.micros(e.ts), e.event_id))
+    val input = MemoryStream[Event]
+    val query = StreamOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode(OutputMode.Append()).start()
+    val third = events.length / 3
+    for (batch <- Seq(events.take(third), events.slice(third, 2 * third),
+                      events.drop(2 * third))) {
+      input.addData(batch.toIndexedSeq: _*)
+      query.processAllAvailable()
+    }
+    // open sessions re-emit once per batch; a session is identified by its
+    // start, so count distinct (user, session_start)
+    val streamed = spark.sql("SELECT * FROM sess_parity")
+      .as[StreamOps.SessionUpdate].collect()
+      .map(s => (s.user_id, s.session_start.getTime)).distinct
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    query.stop()
+    val batchCounts = SparkEntry.queries("q_events_sessionize")(spark, dir)
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+    assert(streamed.keySet == batchCounts.keySet)
+    for ((u, n) <- batchCounts)
+      assert(streamed(u).toLong == n, s"user $u: stream ${streamed(u)} vs batch $n")
+  }
+
   test("watermarked hourly counts over a stream match batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
