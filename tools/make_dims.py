@@ -47,4 +47,30 @@ pq.write_table(
         ("file_key", pa.string()), ("doi", pa.string()),
         ("updated_at", pa.date32())])),
     out / "doi_meta.parquet")
-print("wrote", list(p.name for p in out.iterdir()))
+# Better-BibTeX-style JSON export for the biblio index-source oracle
+# (reference io_biblio.py:40-89): edge cases — missing doi, family-only
+# author, blank given, blank family (dropped), null pages, no citekey
+import json
+
+export = []
+for i in range(40):
+    authors = []
+    if i % 7 != 0:
+        authors.append({"family": f"Fam{i}", "given": "" if i % 3 == 0 else f"Giv{i}"})
+    if i % 5 == 0:
+        authors.append({"family": f"Co{i}", "given": None})
+    if i % 11 == 0:
+        authors.append({"family": "  ", "given": "Ghost"})  # dropped by the filter
+    export.append({
+        "pdfFile": f"papers/sub{i % 3}/Doc {i}_v2.pdf",
+        "doi": None if i % 4 == 0 else f"10.5555/X.{i:03d}",
+        "title": f"Paper Title {i}" if i % 6 != 0 else None,
+        "authors": authors,
+        "year": 1995 + (i % 25) if i % 8 != 0 else None,
+        "pages": None if i % 9 == 0 else {"start": 10 * i + 1, "end": 10 * i + 9},
+        "citekey": f"fam{i}key" if i % 2 == 0 else None,
+    })
+with open(out / "biblio_export.json", "w") as f:
+    json.dump(export, f, indent=1)
+
+print("wrote", sorted(p.name for p in out.iterdir()))
