@@ -71,6 +71,13 @@ object GraftCli {
             // process_config, not batch) -> the reference's three batch
             // CLI overrides (--pdf_dir/--cache_dir/--top_k); per-query
             // configs merge on top inside handleBatch. No env layer.
+            // The whole branch (file read, override parsing, dispatch) is
+            // guarded: the reference's batch_processing_mode catches
+            // everything and reports "Error in batch processing: ..." on
+            // stderr with exit 1 (cli_subprocess.py:226-230) — a missing
+            // batch file or non-numeric --top_k must not stack-trace past
+            // spark.stop().
+            try {
             var baseCfg = graft.config.GraftConfig.merge(
               graft.config.GraftConfig.defaults,
               overrides.get("config").map(graft.config.GraftConfig.loadFile)
@@ -99,6 +106,11 @@ object GraftCli {
                   case None => println(json)
                 }
                 spark.stop(); sys.exit(0)
+            }
+            } catch {
+              case e: Throwable if !e.isInstanceOf[scala.util.control.ControlThrowable] =>
+                System.err.println(s"Error in batch processing: ${e.getMessage}")
+                spark.stop(); sys.exit(1)
             }
           case None =>
             val input =

@@ -156,11 +156,14 @@ object SparkEntry {
                  size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS n_raw_tokens
           FROM documents ORDER BY doc_id""") _,
 
-    "q_term_df" -> sqlQuery(Seq("documents"),
-      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents)
-          SELECT term, count(*) AS df FROM
-            (SELECT DISTINCT doc_id, explode(tk) AS term FROM toks)
-          GROUP BY term ORDER BY df DESC, term LIMIT 100""") _,
+    // df straight off the checkpointed graft_tf view (already distinct at
+    // (doc_id, term) grain) — its own tokenize CTE here would re-run the
+    // tokenizer pass the rest of the BM25 family shares
+    "q_term_df" -> ((spark: SparkSession, dir: String) => {
+      prepareBm25Views(spark, dir)
+      spark.sql("""SELECT term, count(*) AS df FROM graft_tf
+                   GROUP BY term ORDER BY df DESC, term LIMIT 100""")
+    }),
 
     "q_corpus_stats" -> sqlQuery(Seq("documents"),
       s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents),

@@ -20,12 +20,19 @@ object Verify {
     // zero ALL queries if the testdata were ever regenerated, so warn
     // unmistakably and continue — only the fixture-backed queries can
     // mismatch, and this banner names the cause.
-    val sig = spark.read.parquet(s"$sfDir/documents.parquet")
-      .agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0)
-    if (!SparkEntryExtra.FixtureSigs.exists(_._2 == sig))
+    // The probe itself must never abort the dump (a missing/empty
+    // documents table would NPE on getLong before any query ran, where
+    // each catalog query is individually try-wrapped): probe failure is
+    // just an unknown signature.
+    val sig = scala.util.Try(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0))
+    if (!sig.toOption.exists(s => SparkEntryExtra.FixtureSigs.exists(_._2 == s)))
       System.err.println(
         s"""|!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!
-            |[verify] UNKNOWN CORPUS SIGNATURE sum(n_chars)=$sig for $sfDir
+            |[verify] UNKNOWN CORPUS SIGNATURE sum(n_chars)=${
+              sig.fold(e => s"<unreadable: ${e.getMessage}>", _.toString)
+            } for $sfDir
             |[verify] The 9 reference-run fixture oracles will return empty
             |[verify] results and hash-mismatch. Regenerate the fixtures
             |[verify] (tools/make_fixtures.py) or add the signature to

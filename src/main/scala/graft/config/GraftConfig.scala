@@ -151,7 +151,12 @@ object GraftConfig {
         }
       }
       if (sb.toString.trim.nonEmpty) items += sb.toString
-      items.toList.map(parseScalar)
+      // nested inline lists recurse — `x: [1, [2, 3]]` parses [2, 3] as a
+      // list, not the literal string "[2, 3]"
+      items.toList.map { i =>
+        val ti = i.trim
+        if (ti.startsWith("[") && ti.endsWith("]")) parseList(ti) else parseScalar(ti)
+      }
     }
 
     sealed trait L { def indent: Int }

@@ -69,6 +69,11 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("yaml parse: nested inline lists recurse") {
+    val cfg = GraftConfig.parseYaml("x: [1, [2, 3], [\"a\", b], 4]\n")
+    assert(cfg("x") == Seq(1L, Seq(2L, 3L), Seq("a", "b"), 4L))
+  }
+
   test("precedence: defaults < yaml < env < cli") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cfg")
     val yaml = dir.resolve("config.yaml")
