@@ -362,6 +362,48 @@ object SparkEntry {
           SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
           FROM m GROUP BY user_id ORDER BY user_id""") _,
 
+    // --- semantic run-D mix (reference rerank.py:292-307): the engine's
+    //     real Semantic.semanticRerank over the BM25 top-20 pool, combined
+    //     score 0.7*minmax(bm25) + 0.3*cosine against the vec_id=0 query
+    //     embedding. The provider is an id-keyed lookup (the oracle joins
+    //     embeddings by doc_id, and pool texts may not be unique — the
+    //     corpus carries exact duplicates by construction); normalization
+    //     is double-math-then-float-cast on both sides so the cosines are
+    //     bit-identical (see the oracle's CAST(... AS REAL) chain).
+    "q_semantic_mix" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, round => fround, desc, asc}
+      prepareBm25Views(spark, dir)
+      views(spark, dir, "embeddings")
+      val pool = spark.sql(
+        s"""WITH $bm25ScoresViewSql
+            SELECT doc_id, round(score, 4) AS score FROM scores
+            WHERE doc_id <> 0
+            ORDER BY round(score, 4) DESC, doc_id LIMIT 20""")
+        .as[(Long, Double)].collect().toIndexedSeq
+      val ids = pool.map(_._1)
+      val embById = spark.sql(
+        s"""SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id = 0 OR vec_id IN (${ids.mkString(",")})""")
+        .as[(Long, Array[Float])].collect().toMap
+      def l2(a: Array[Float]): Array[Float] = {
+        var n = 0.0; var i = 0
+        while (i < a.length) { n += a(i).toDouble * a(i).toDouble; i += 1 }
+        val d = math.sqrt(n)
+        a.map(x => (x.toDouble / d).toFloat)
+      }
+      val provider = new graft.query.EmbeddingProvider {
+        def embed(key: String): Option[Array[Float]] = embById.get(key.toLong).map(l2)
+        def embedQuery(q: String): Option[Array[Float]] = embById.get(0L).map(l2)
+      }
+      val combined = graft.query.Semantic.semanticRerank(
+        QTerms.mkString(" "), ids.map(_.toString), pool.map(_._2), provider)
+      pool.zip(combined).map { case ((id, s), c) => (id, s, c) }
+        .toDF("doc_id", "bm25", "combined")
+        .select(col("doc_id"), col("bm25"), fround(col("combined"), 4).as("combined"))
+        .orderBy(desc("combined"), asc("doc_id"))
+    }),
+
     // --- embeddings: similarity search (training-data ops) ---
     "q_embed_topk" -> sqlQuery(Seq("embeddings"),
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -555,6 +597,33 @@ object SparkEntry {
                       THEN 1 ELSE 0 END AS new_s FROM e)
           SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
           FROM m GROUP BY user_id ORDER BY user_id""",
+
+    // double-normalize -> float-cast -> double-widen multiply: the exact
+    // float-op chain of the Spark side's id-keyed provider (l2 + cosine)
+    "q_semantic_mix" ->
+      s"""${bm25ScoreSql("duck")},
+          pool AS (SELECT doc_id, round(score, 4) AS score FROM scores
+                   WHERE doc_id <> 0
+                   ORDER BY round(score, 4) DESC, doc_id LIMIT 20),
+          qv AS (SELECT embedding AS qe,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings WHERE vec_id = 0),
+          ev AS (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings WHERE vec_id IN (SELECT doc_id FROM pool)),
+          mm AS (SELECT doc_id, score, min(score) OVER () AS mn,
+                   max(score) OVER () AS mx FROM pool),
+          cand AS (SELECT m.doc_id, m.score,
+                   CASE WHEN m.mx > m.mn THEN (m.score - m.mn) / (m.mx - m.mn)
+                        ELSE 1.0 END AS norm,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> CAST(CAST(CAST(e.embedding[i] AS DOUBLE) / e.nrm AS REAL) AS DOUBLE)
+                        * CAST(CAST(CAST(q.qe[i] AS DOUBLE) / q.nrm AS REAL) AS DOUBLE))) AS cos
+                   FROM mm m JOIN ev e ON e.vec_id = m.doc_id CROSS JOIN qv q)
+          SELECT doc_id, score AS bm25, round(0.7 * norm + 0.3 * cos, 4) AS combined
+          FROM cand ORDER BY combined DESC, doc_id""",
 
     "q_embed_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -120,6 +120,14 @@ class AnnFreshnessSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0.0))
   }
 
+  test("q_ann_recall catalog query: multi-probe recall@5 >= 0.8 on the committed fixture") {
+    // the driver-oracle row's VALUE is the recall; this pins the quality
+    // floor on the engine side (the DuckDB mirror pins it via hash match)
+    val row = SparkEntry.queries("q_ann_recall")(spark, "/root/testdata/sf0.001").head()
+    assert(row.getInt(0) == 5)
+    assert(row.getDouble(1) >= 0.8, s"recall@5 = ${row.getDouble(1)}")
+  }
+
   test("DOI-metadata TTL split: fresh within ttl, stale beyond or null") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-06-01 00:00:00")
