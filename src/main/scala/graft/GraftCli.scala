@@ -187,9 +187,9 @@ object GraftCli {
           println(f"[graft] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
         t("scoresDF.count")(backend.scoresDF(toks).count())
-        t("topPool")(backend.topPool(q, q, 200, PipelineConfig()))
+        t("topPool")(backend.topPool(q, q, 200, pipelineCfg))
         println(s"[graft] pool path=${backend.lastPoolPath} iters=${backend.lastPoolIters}")
-        t("searchTopK")(Pipeline.searchTopK(backend, q, PipelineConfig()))
+        t("searchTopK")(Pipeline.searchTopK(backend, q, pipelineCfg))
       case "qbench" =>
         val backend = new SparkBackend(spark, paths)
         val qs = Seq("machine learning algorithms", "quick brown fox",

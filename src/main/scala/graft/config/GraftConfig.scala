@@ -31,7 +31,11 @@ object GraftConfig {
     "bm25" -> Map(
       "k1" -> 1.4,
       "b" -> 0.75,
-      "pool_size" -> 200L),
+      "pool_size" -> 200L,
+      // engine-only knob (no reference analog): serve head-term queries
+      // from WAND top-k instead of the O(corpus) dense pass — bounded rank
+      // deviation, see PipelineConfig.headTermWand
+      "head_term_wand" -> false),
     "prf" -> Map(
       "enabled" -> false,
       "fb_docs" -> 6L,
@@ -256,12 +260,14 @@ object GraftConfig {
     "no-diversity" -> Seq("diversity", "enabled"),
     "div-lambda" -> Seq("diversity", "per_doc_penalty"),
     "max-per-doc" -> Seq("diversity", "max_per_doc"),
-    "semantic-topn" -> Seq("rerank", "semantic", "topn"))
+    "semantic-topn" -> Seq("rerank", "semantic", "topn"),
+    "head-term-wand" -> Seq("bm25", "head_term_wand"))
 
   private val InvertedFlags = Set("no-prox", "no-diversity")
   // "pretty" maps to no config path; listing it here only makes the parser
   // treat it as a bare flag (it must never consume the next positional)
-  private val BooleanFlags = Set("rm3", "no-prox", "no-diversity", "pretty")
+  private val BooleanFlags = Set("rm3", "no-prox", "no-diversity", "pretty",
+    "head-term-wand")
 
   def applyCli(cfg: Tree, cli: Map[String, String]): Tree =
     CliMappings.foldLeft(cfg) { case (acc, (arg, path)) =>
@@ -353,6 +359,7 @@ object GraftConfig {
     poolSize = long(cfg, "bm25", "pool_size").toInt,
     k1 = dbl(cfg, "bm25", "k1"),
     b = dbl(cfg, "bm25", "b"),
+    headTermWand = bool(cfg, "bm25", "head_term_wand"),
     proxWindow = if (bool(cfg, "bonuses", "proximity", "enabled"))
       long(cfg, "bonuses", "proximity", "window").toInt else 0,
     proxLambda = if (bool(cfg, "bonuses", "proximity", "enabled"))

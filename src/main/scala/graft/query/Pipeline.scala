@@ -52,7 +52,21 @@ case class PipelineConfig(
       * bounded path falls back to dense automatically whenever its safety
       * bound cannot be proven, so this is a test/debug escape hatch.
       */
-    densePoolOnly: Boolean = false)
+    densePoolOnly: Boolean = false,
+    /** Serve head-term queries (sum(df) > nDocs/2 — stopword-ish, where the
+      * posting lists cover most of the corpus) straight from WAND top-k
+      * instead of the reference-exact dense bonus pass over every chunk.
+      * Off by default: the dense pass IS the reference semantics. With it
+      * on, the pool candidates come from base-BM25 WAND and are then
+      * exactly re-scored with bonuses, so only the candidate SELECTION can
+      * deviate: an excluded chunk out-ranks a pool member by at most the
+      * corpus-global additive bonus ceiling (SparkBackend.maxBonus — ≤
+      * proxλ + ngramλ + maxStaticBonus (+2.0 for fuzzy-active queries));
+      * the rank deviation is bounded by that same quantity relative to the
+      * base-score gaps. At 10^12 chunks this turns a per-query full-corpus
+      * job into a blocks-table-only read.
+      */
+    headTermWand: Boolean = false)
 
 /** Abstraction over where the heavy scans run. The distributed engine
   * implements this with Spark jobs (full-corpus scoring + TakeOrdered pool,

@@ -130,6 +130,20 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
       if (bm25Query == query) qTokens else Analyzer.tokenize(bm25Query).toIndexedSeq
     val ctx = new Scoring.QueryBonusContext(query, qTokens, cfg.proxWindow,
       cfg.proxLambda, cfg.ngramLambda)
+    // Head-term WAND mode (opt-in): a query whose posting lists cover most
+    // of the corpus gives WAND nothing to prune AND defeats the bounded
+    // pool's safety proof, so the default serves it reference-exact (dense
+    // pass over all chunks — O(corpus) per query). With headTermWand the
+    // pool candidates come from WAND top-poolSize on base BM25 and only
+    // those rows are fetched + exactly re-scored: the blocks scan (bucket-
+    // pruned) is the only corpus-sized read, the chunk table is touched
+    // only by the candidates' partition-pruned id fetch. Deviation bound:
+    // see PipelineConfig.headTermWand.
+    if (cfg.headTermWand && !cfg.densePoolOnly &&
+        dfFor(bmTokens.distinct).values.sum > stats.nDocs / 2) {
+      lastPoolPath = "wand-headterm"
+      return wandOnlyPool(ctx, bm25Query, bmTokens, poolSize)
+    }
     if (!cfg.densePoolOnly) {
       boundedPool(ctx, query, bm25Query, bmTokens, poolSize, cfg) match {
         case Some(pool) => lastPoolPath = "bounded"; return pool
@@ -138,6 +152,26 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
     }
     lastPoolPath = "dense"
     densePool(ctx, bmTokens, poolSize)
+  }
+
+  /** Head-term serving pool: WAND top-poolSize candidates by base BM25,
+    * exact re-score + bonuses on those rows only (never a chunk-table
+    * scan). Candidate selection ignores bonuses, so vs the dense reference
+    * pool a chunk can be displaced only when its bonus advantage exceeds
+    * its base-score deficit — bounded by maxBonus(query, cfg).
+    */
+  private def wandOnlyPool(ctx: Scoring.QueryBonusContext,
+                           bm25Query: String, bmTokens: IndexedSeq[String],
+                           poolSize: Int): IndexedSeq[(ChunkRow, Double)] = {
+    val cand = Wand.topK(spark, paths, stats, bm25Query, poolSize, idfFor)
+    if (cand.isEmpty) return IndexedSeq.empty
+    val rows = fetchChunks(cand.map(_._1))
+    val exactBase = bm25ScoresFor(bmTokens, rows.map(_._1))
+    val scored = scala.collection.mutable.HashMap.empty[Long, (ChunkRow, Double)]
+    scoreCandidatesInto(ctx, rows, exactBase, scored)
+    scored.values.toIndexedSeq
+      .sortBy { case (c, s) => (-s, c.source, c.page, c.chunkIdx) }
+      .take(poolSize)
   }
 
   /** Diagnostics: which path served the last topPool call. */

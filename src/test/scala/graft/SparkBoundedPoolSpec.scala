@@ -81,6 +81,40 @@ class SparkBoundedPoolSpec extends AnyFunSuite {
     } finally backend.denseBroadcastMaxMatched = 50L * 1000 * 1000
   }
 
+  test("headTermWand serves a head-term query from WAND only — no dense pass, bounded deviation") {
+    import spark.implicits._
+    val head = spark.read.parquet(paths.termStats)
+      .orderBy(org.apache.spark.sql.functions.desc("df"))
+      .select("term").as[String].head()
+    val q = s"$head learning"
+    assert(backend.dfFor(Seq(head))(head) > backend.stats.nDocs / 2,
+      s"setup: '$head' must be a head term")
+    val dense = backend.topPool(q, q, 50, PipelineConfig())
+    assert(backend.lastPoolPath == "dense") // default mode: reference-exact
+    backend.lastDenseJoin = "" // sentinel: any dense pass would overwrite it
+    val wand = backend.topPool(q, q, 50, PipelineConfig(headTermWand = true))
+    assert(backend.lastPoolPath == "wand-headterm")
+    assert(backend.lastDenseJoin == "",
+      "headTermWand mode executed the dense chunk-table pass")
+    assert(wand.length == dense.length)
+    // deviation bound: candidate selection ignored bonuses, so at every
+    // rank the served score trails the reference-exact pool by at most the
+    // additive bonus ceiling (re-scoring itself is exact)
+    val bMax = 0.2 + 0.1 + backend.stats.maxStaticBonus +
+      (if (q.length >= 20) 2.0 else 0.0)
+    wand.zip(dense).zipWithIndex.foreach { case (((_, ws), (_, ds)), i) =>
+      assert(ds - ws <= bMax + 1e-9,
+        s"rank $i: wand score $ws trails dense $ds beyond the $bMax bound")
+    }
+    // a non-head-term query is untouched by the flag (same path, same pool)
+    val normal = backend.topPool(queries.head, queries.head, 20,
+      PipelineConfig(headTermWand = true))
+    val normalDefault = backend.topPool(queries.head, queries.head, 20,
+      PipelineConfig())
+    assert(normal.map(p => (p._1.chunkId, p._2)) ==
+      normalDefault.map(p => (p._1.chunkId, p._2)))
+  }
+
   test("chunk-bucketed index (pruned candidate fetch) returns identical pools") {
     import spark.implicits._
     val pages = WebPages.generate(spark, 800, 42, 8)
