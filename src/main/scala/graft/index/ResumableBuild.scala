@@ -98,12 +98,7 @@ object ResumableBuild {
     import spark.implicits._
     val parent = TableIO.readManifest(out.manifest)
       .flatMap(_.get("snapshot_id")).getOrElse("none")
-    val merged = ChunkerJob.dedup(
-      spark.read.parquet((0 until resume.nInputBuckets)
-        .map(b => s"${chunksRawDir(out)}/bucket=$b")
-        .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))): _*)
-        .as[ChunkRow])
-    val stats = IndexBuilder.build(spark, merged, out, build)
+    val stats = IndexBuilder.build(spark, mergedChunks(spark, out, resume), out, build)
     val manifest = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
     TableIO.writeManifest(out.manifest, manifest + ("parent_snapshot" -> parent))
     stats
@@ -165,8 +160,26 @@ object ResumableBuild {
       .select(col("c.source"))
   }
 
+  /** The merged, deduped chunk corpus from the on-disk url-bucket dirs. */
+  private def mergedChunks(spark: SparkSession, out: IndexPaths,
+                           resume: ResumeConfig): Dataset[ChunkRow] = {
+    import spark.implicits._
+    ChunkerJob.dedup(
+      spark.read.parquet((0 until resume.nInputBuckets)
+        .map(b => s"${chunksRawDir(out)}/bucket=$b")
+        .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))): _*)
+        .as[ChunkRow])
+  }
+
   /** Incremental update: reprocess only the url buckets containing changed
-    * urls, overwrite those bucket partitions, then re-run the index phase.
+    * urls, overwrite those bucket partitions, then rebuild posting blocks
+    * ONLY for the doc shards whose chunks actually changed (added, removed,
+    * or text-modified — including dedup-keeper migrations across buckets,
+    * which the (chunkId, text-hash) diff catches). Falls back to the full
+    * index phase when no prior compatible index exists (different config
+    * hash, missing shard record) or when more than half the shards are
+    * affected (a full rebuild's single pass is cheaper than paying the
+    * full-corpus stats scan AND a majority of the exchange).
     */
   def incrementalUpdate(spark: SparkSession, pages: Dataset[PageDoc],
                         changedUrls: DataFrame, out: IndexPaths,
@@ -178,8 +191,40 @@ object ResumableBuild {
     val buckets = changedUrls
       .select(pmod(xxhash64(urlCol), lit(resume.nInputBuckets)).cast("int").as("b"))
       .distinct().as[Int].collect().toSeq
+    // prior state BEFORE the chunk phase touches anything it reads
+    val prev = scala.util.Try(IndexBuilder.loadStats(spark, out)).toOption
+      .filter(p => p.nDocShards > 0 && p.configHash == build.configHash &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(out.chunks)))
     chunkBuckets(spark, pages, out, chunker, resume.nInputBuckets, buckets,
       Map("incremental" -> "true"))
-    indexPhase(spark, out, build, resume)
+    prev match {
+      case None => indexPhase(spark, out, build, resume)
+      case Some(p) =>
+        val merged = mergedChunks(spark, out, resume)
+        // changed chunks = symmetric diff of (chunkId, text-hash) between
+        // the indexed chunk table and the new merged corpus — collected
+        // EAGERLY (shard-count-bounded) before the chunk table is
+        // overwritten underneath the diff's scan
+        val oldSig = spark.read.parquet(out.chunks)
+          .select(col("chunkId"), xxhash64(col("text")).as("h"))
+        val newSig = merged.toDF().select(col("chunkId"), xxhash64(col("text")).as("h"))
+        val shards = newSig.except(oldSig).union(oldSig.except(newSig))
+          .select(pmod(xxhash64(col("chunkId")), lit(p.nDocShards)).cast("int").as("s"))
+          .distinct().as[Int].collect().toSeq.sorted
+        if (shards.isEmpty) p // nothing changed — index already current
+        else if (shards.length * 2 > p.nDocShards)
+          indexPhase(spark, out, build, resume)
+        else {
+          // cfg passed unchanged (its configHash must equal the recorded
+          // one — incrementalBuild reads the resolved shard count from
+          // `p.nDocShards`, not the config)
+          val stats = IndexBuilder.incrementalBuild(spark, merged, out,
+            build, p, shards)
+          val manifest = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
+          TableIO.writeManifest(out.manifest,
+            manifest + ("parent_snapshot" -> p.snapshotId))
+          stats
+        }
+    }
   }
 }

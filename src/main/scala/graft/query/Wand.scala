@@ -23,12 +23,18 @@ import graft.index.{BlockRow, Codec, GlobalStats, IndexBuilder, IndexPaths}
 object Wand {
 
   private final class Cursor(val weight: Double, blocks: IndexedSeq[BlockRow],
-                             k1: Double, b: Double, avgdl: Double) {
+                             k1: Double, b: Double, avgdl: Double,
+                             boundScale: Double) {
     // A term with negative weight (the BM25Okapi negative-eps floor on a
     // stopword-dense corpus) can only lower a doc's score; its valid upper
-    // bound for pivot pruning is 0, not weight*maxTfNorm.
+    // bound for pivot pruning is 0, not weight*maxTfNorm. boundScale
+    // (>= 1) covers blocks whose maxTfNorm was computed under an older,
+    // smaller avgdl after an incremental update: tf-norms grow with avgdl
+    // by at most avgdl_now/avgdl_then, so scaling keeps the bound valid
+    // (see GlobalStats.minBlockAvgdl). Exactness is unaffected — bounds
+    // only gate pruning, contributions use the raw tf/dl.
     val termUpperBound: Double =
-      math.max(0.0, weight * blocks.iterator.map(_.maxTfNorm).max)
+      math.max(0.0, weight * blocks.iterator.map(_.maxTfNorm).max * boundScale)
     private var bi = 0
     private var di = 0
     private var docs: Array[Long] = _
@@ -83,11 +89,12 @@ object Wand {
     */
   def wandShard(blocksByTerm: Map[String, IndexedSeq[BlockRow]],
                 termOrder: IndexedSeq[String], termWeights: Map[String, Double],
-                k: Int, k1: Double, b: Double, avgdl: Double): Seq[(Long, Double)] = {
+                k: Int, k1: Double, b: Double, avgdl: Double,
+                boundScale: Double = 1.0): Seq[(Long, Double)] = {
     val cursors: Array[Cursor] = termOrder.iterator
       .filter(t => blocksByTerm.contains(t) && termWeights.getOrElse(t, 0.0) != 0.0)
       .map(t => new Cursor(termWeights(t),
-        blocksByTerm(t).sortBy(_.blockId), k1, b, avgdl))
+        blocksByTerm(t).sortBy(_.blockId), k1, b, avgdl, boundScale))
       .filter(!_.exhausted)
       .toArray
     if (cursors.isEmpty || k <= 0) return Nil
@@ -172,6 +179,10 @@ object Wand {
     if (liveTerms.isEmpty) return Nil
     val buckets = liveTerms.map(IndexBuilder.termBucket(_, stats.nTermBuckets)).distinct
     val k1 = stats.k1; val b = stats.b; val avgdl = stats.avgdl
+    // blocks written before an incremental avgdl re-fit carry maxTfNorm
+    // under the old (possibly smaller) avgdl — scale bounds to stay valid
+    val boundScale =
+      if (stats.minBlockAvgdl > 0) math.max(1.0, avgdl / stats.minBlockAvgdl) else 1.0
 
     val blocks = spark.read.parquet(paths.blocks)
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(liveTerms: _*))
@@ -189,7 +200,7 @@ object Wand {
           scala.collection.mutable.ArrayBuffer.empty[BlockRow]) += r
       }
       wandShard(byTerm.view.mapValues(_.toIndexedSeq).toMap,
-        termOrder, weights, k, k1, b, avgdl)
+        termOrder, weights, k, k1, b, avgdl, boundScale)
     }.collect()
 
     perShard.iterator.flatten.toSeq

@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.corpus.{ChunkerConfig, ChunkerJob, PageDoc, WebPages}
@@ -98,6 +99,94 @@ class ResumableBuildSpec extends AnyFunSuite {
     assert(incr.flatMap(_.get("bucket")).map(_.toInt).toSet == expectedBuckets)
     assert(spark.read.parquet(out.chunks)
       .filter(col("text").contains("recrawl sentinel")).count() > 0)
+  }
+
+  test("incremental update rebuilds only affected doc shards' block partitions") {
+    val build16 = build.copy(nDocShards = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shardincr").toString
+    val out = IndexPaths(dir)
+    ResumableBuild.run(spark, pagesA, out, build16, chunker, resume)
+
+    // per-shard block file inventory: a rewritten (bucket, shard) dir gets
+    // fresh part-file names, an untouched one keeps its exact paths+sizes
+    def filesByShard(): Map[Int, Set[(String, Long)]] = {
+      val root = java.nio.file.Paths.get(out.blocks)
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map { p =>
+          val shard = "shard=(\\d+)".r.findFirstMatchIn(p.toString).get.group(1).toInt
+          shard -> ((p.toString, java.nio.file.Files.size(p)))
+        }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      finally s.close()
+    }
+    val before = filesByShard()
+    assert(before.keySet.size > 4, "setup: expected many shard dirs")
+
+    // one url gets new text; everything else byte-identical
+    val targetUrl = pagesA.select("url").as[String].orderBy("url").head()
+    val pagesB = pagesA.map(p =>
+      if (p.url == targetUrl)
+        p.copy(text = p.text + " incremental shard sentinel marker")
+      else p)
+    val changedDF = Seq(targetUrl).toDF("url")
+    val stats = ResumableBuild.incrementalUpdate(
+      spark, pagesB, changedDF, out, build16, chunker, resume)
+
+    val manifest = TableIO.readManifest(out.manifest).get
+    assert(manifest.contains("incremental_shards"),
+      "expected the shard-grain incremental path, not a full rebuild")
+    val incShards = manifest("incremental_shards").split(",").map(_.toInt).toSet
+    assert(incShards.nonEmpty && incShards.size < 8,
+      s"one url should touch few shards, got $incShards")
+    val after = filesByShard()
+    for (s <- before.keySet -- incShards)
+      assert(after.get(s).contains(before(s)),
+        s"untouched shard $s was rewritten")
+    for (s <- incShards if before.contains(s))
+      assert(after.getOrElse(s, Set.empty) != before(s),
+        s"affected shard $s kept its old files")
+
+    // result parity vs a from-scratch build over the same final corpus
+    val out2 = IndexPaths(
+      java.nio.file.Files.createTempDirectory("graft-shardincr-direct").toString)
+    val direct = IndexBuilder.build(spark,
+      ChunkerJob.chunk(pagesB, chunker), out2, build16)
+    assert(stats.nDocs == direct.nDocs)
+    assert(math.abs(stats.avgdl - direct.avgdl) < 1e-12)
+    assert(stats.vocabSize == direct.vocabSize)
+    assert(stats.nDocShards == direct.nDocShards)
+
+    val b1 = new graft.query.SparkBackend(spark, out)
+    val b2 = new graft.query.SparkBackend(spark, out2)
+    for (q <- Seq("quantum physics experiment", "sentinel marker",
+        "climate ocean temperature")) {
+      val toks = graft.analysis.Analyzer.tokenize(q).toIndexedSeq
+      val s1 = b1.scoresDF(toks).as[(Long, Double)].collect().toMap
+      val s2 = b2.scoresDF(toks).as[(Long, Double)].collect().toMap
+      assert(s1.keySet == s2.keySet, s"'$q' matched docs differ")
+      s1.foreach { case (id, v) =>
+        assert(math.abs(v - s2(id)) < 1e-9, s"'$q' doc $id: $v vs ${s2(id)}") }
+      val w1 = graft.query.Wand.topK(spark, out, b1.stats, q, 10, b1.idfFor)
+      val w2 = graft.query.Wand.topK(spark, out2, b2.stats, q, 10, b2.idfFor)
+      assert(w1.map(_._1) == w2.map(_._1), s"'$q' WAND ids differ")
+      w1.zip(w2).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // term_stats parity (df exact, idf to float-order tolerance)
+    val t1 = spark.read.parquet(out.termStats)
+      .select("term", "df", "idf").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val t2 = spark.read.parquet(out2.termStats)
+      .select("term", "df", "idf").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(t1.keySet == t2.keySet)
+    t1.foreach { case (term, (df, idf)) =>
+      assert(df == t2(term)._1, s"df($term)")
+      assert(math.abs(idf - t2(term)._2) < 1e-9, s"idf($term)")
+    }
+    // the updated content is servable
+    assert(spark.read.parquet(out.chunks)
+      .filter(col("text").contains("incremental shard sentinel")).count() > 0)
   }
 
   test("incremental update reprocesses only changed urls' buckets") {
