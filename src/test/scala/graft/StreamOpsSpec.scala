@@ -99,6 +99,44 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(streamed(u).toLong == n, s"user $u: stream ${streamed(u)} vs batch $n")
   }
 
+  test("streaming hourly counts over the events testdata == oracle-checked batch query") {
+    // replay the real events table through the watermarked stream in three
+    // micro-batches and compare every (event_type, hour) group against
+    // q_events_hourly (the driver-oracle-verified batch semantics)
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (StreamOps.micros(e.ts), e.event_id))
+    val input = MemoryStream[Event]
+    val query = StreamOps.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly_parity")
+      .outputMode(OutputMode.Complete()).start()
+    val third = events.length / 3
+    for (batch <- Seq(events.take(third), events.slice(third, 2 * third),
+                      events.drop(2 * third))) {
+      input.addData(batch.toIndexedSeq: _*)
+      query.processAllAvailable()
+    }
+    val streamed = spark.sql(
+      """SELECT event_type, date_format(hr, 'yyyy-MM-dd HH:mm') AS hr, n, sum_value
+         FROM hourly_parity""")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    query.stop()
+    val batchRows = SparkEntry.queries("q_events_hourly")(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(streamed.keySet == batchRows.keySet)
+    for ((k, (n, s)) <- batchRows) {
+      assert(streamed(k)._1 == n, s"$k: stream n ${streamed(k)._1} vs batch $n")
+      // batch rounds to 4; stream sums in different float order
+      assert(math.abs(streamed(k)._2 - s) < 1e-6, s"$k: sum ${streamed(k)._2} vs $s")
+    }
+  }
+
   test("watermarked hourly counts over a stream match batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
