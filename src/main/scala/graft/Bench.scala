@@ -165,7 +165,7 @@ object Bench {
     val paths = IndexPaths(benchRoot())
     val (stats, secs) = time {
       IndexBuilder.build(s, graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()),
-        paths, BuildConfig(shufflePartitions = s.sparkContext.defaultParallelism))
+        paths, BuildConfig(shufflePartitions = s.sparkContext.defaultParallelism * 4))
     }
     (secs, stats.nDocs, paths)
   }

@@ -129,8 +129,11 @@ object GraftCli {
         val pages = WebPages.generate(spark, nPages, seed)
           .map(p => PageDoc(p.url, 1, p.text, None))
         val t0 = System.nanoTime()
+        // 4x cores: finer shuffle grain balances the (bucket, shard) groups
+        // across reducers (cores-sized partitions leave stragglers — A/B'd
+        // at local[4]/local[16]: 27.1->24.3s / 11.0->9.2s, BENCH.md r4)
         val stats = ResumableBuild.run(spark, pages, paths,
-          BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism),
+          BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism * 4),
           ChunkerConfig(), ResumableBuild.ResumeConfig())
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[graft] indexed ${stats.nDocs} chunks from $nPages pages in $secs%.1fs " +
@@ -241,10 +244,13 @@ object GraftCli {
           val pages = WebPages.generate(s, nPages, 42, s.sparkContext.defaultParallelism * 2)
             .map(p => PageDoc(p.url, 1, p.text, None))
           val dir = java.nio.file.Files.createTempDirectory("probe").toString
+          // SPARK_GRAFT_SHUF_MULT: experiment knob — shuffle partitions as a
+          // multiple of cores (4 = the production default, see BENCH.md r4)
+          val mult = sys.env.getOrElse("SPARK_GRAFT_SHUF_MULT", "4").toInt
           val t0 = System.nanoTime()
           IndexBuilder.build(s, graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()),
             IndexPaths(dir), BuildConfig(
-              shufflePartitions = s.sparkContext.defaultParallelism))
+              shufflePartitions = s.sparkContext.defaultParallelism * mult))
           (System.nanoTime() - t0) / 1e9
         }
         var tm = Map[(String, Int), List[Double]]().withDefaultValue(Nil)
@@ -276,7 +282,7 @@ object GraftCli {
         IndexBuilder.build(spark,
           graft.corpus.ChunkerJob.chunk(pages.limit(1000), ChunkerConfig()),
           IndexPaths(s"${paths.root}-warm"),
-          BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism))
+          BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism * 4))
         val reps = sys.env.getOrElse("SPARK_GRAFT_BUILD_REPS", "1").toInt
         var best = Double.MaxValue
         var lastStats: graft.index.GlobalStats = null
@@ -284,7 +290,7 @@ object GraftCli {
           val t0 = System.nanoTime()
           lastStats = IndexBuilder.build(spark,
             graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()), paths,
-            BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism))
+            BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism * 4))
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         }
         println(f"[graft] directbuild ${lastStats.nDocs} chunks in $best%.1fs " +

@@ -18,14 +18,20 @@ object TableIO {
     case c => c.toString
   }
 
-  /** Atomically write a flat string map as JSON (tmp + rename). */
+  /** Atomically write a flat string map as JSON (unique tmp + rename: a
+    * SHARED tmp name would race concurrent writers — one move steals the
+    * other's tmp and the second move throws NoSuchFile; with unique tmps
+    * the last rename wins and every observed manifest is complete).
+    */
   def writeManifest(path: String, fields: Map[String, String]): Unit = {
     val p = Paths.get(path)
     Option(p.getParent).foreach(Files.createDirectories(_))
     val json = fields.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{\n  ", ",\n  ", "\n}\n")
-    val tmp = Paths.get(path + ".tmp")
+    val tmp = Paths.get(path + ".tmp." +
+      java.lang.Long.toHexString(Thread.currentThread.getId) + "." +
+      java.lang.Long.toHexString(System.nanoTime()))
     Files.writeString(tmp, json)
     Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
@@ -39,24 +45,41 @@ object TableIO {
     Some(node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
   }
 
-  /** Append-only checkpoint log: one JSON line per completed partition. */
-  def appendCheckpoint(path: String, fields: Map[String, String]): Unit = {
-    val p = Paths.get(path)
-    Option(p.getParent).foreach(Files.createDirectories(_))
-    val json = fields.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
-      .mkString("{", ", ", "}\n")
-    Files.writeString(p, json,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-  }
+  private val appendLock = new Object
+
+  /** Append-only checkpoint log: one JSON line per completed partition.
+    * JVM-level lock serializes in-process appenders (O_APPEND makes each
+    * single write atomic cross-process; the lock removes any reliance on
+    * the JVM issuing one syscall per line).
+    */
+  def appendCheckpoint(path: String, fields: Map[String, String]): Unit =
+    appendLock.synchronized {
+      val p = Paths.get(path)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      val json = fields.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+        .mkString("{", ", ", "}\n")
+      Files.writeString(p, json,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
 
   def readCheckpoints(path: String): Seq[Map[String, String]] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) return Nil
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
-      val node = mapper.readTree(line)
-      node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { line =>
+      // a crash mid-append can leave a torn final line; a torn checkpoint
+      // means "this partition did not complete" — skip it (the bucket
+      // re-runs on resume) instead of aborting the whole resume
+      scala.util.Try {
+        val node = mapper.readTree(line)
+        node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.toOption match {
+        case some @ Some(_) => some
+        case None =>
+          System.err.println(s"[tableio] skipping torn checkpoint line in $path")
+          None
+      }
     }.toSeq
   }
 }
