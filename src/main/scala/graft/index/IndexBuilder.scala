@@ -427,7 +427,15 @@ object IndexBuilder {
 
       // rebuild ONLY the affected shards' blocks: filter on the shard hash
       // of chunkId (cheap id-column predicate), re-run the same exchange +
-      // assembly over that slice, then swap the (bucket, shard) dirs
+      // assembly over that slice, then swap the (bucket, shard) dirs.
+      // The swap window (dirs deleted, new data not yet committed) is the
+      // one non-atomic phase boundary of this path: mark it in the
+      // manifest first — a crash inside leaves `pending_incremental` set,
+      // which ResumableBuild treats as "blocks are suspect, full rebuild"
+      // on the next run (lineage correctness under crash at any boundary).
+      val preManifest = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
+      TableIO.writeManifest(out.manifest, preManifest +
+        ("pending_incremental" -> affectedShards.sorted.mkString(",")))
       val metricsAcc = spark.sparkContext
         .collectionAccumulator[PartitionMetric]("block-build-incremental")
       val shardCol = pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int")

@@ -191,9 +191,15 @@ object ResumableBuild {
     val buckets = changedUrls
       .select(pmod(xxhash64(urlCol), lit(resume.nInputBuckets)).cast("int").as("b"))
       .distinct().as[Int].collect().toSeq
-    // prior state BEFORE the chunk phase touches anything it reads
+    // prior state BEFORE the chunk phase touches anything it reads; a
+    // `pending_incremental` marker means a previous incremental update
+    // crashed inside its shard-swap window — the blocks table is suspect,
+    // so the only safe base is a full rebuild
+    val interrupted = TableIO.readManifest(out.manifest)
+      .exists(_.contains("pending_incremental"))
     val prev = scala.util.Try(IndexBuilder.loadStats(spark, out)).toOption
-      .filter(p => p.nDocShards > 0 && p.configHash == build.configHash &&
+      .filter(p => !interrupted && p.nDocShards > 0 &&
+        p.configHash == build.configHash &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(out.chunks)))
     chunkBuckets(spark, pages, out, chunker, resume.nInputBuckets, buckets,
       Map("incremental" -> "true"))

@@ -189,6 +189,27 @@ class ResumableBuildSpec extends AnyFunSuite {
       .filter(col("text").contains("incremental shard sentinel")).count() > 0)
   }
 
+  test("a crashed incremental swap (pending_incremental marker) forces a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pending").toString
+    val out = IndexPaths(dir)
+    ResumableBuild.run(spark, pagesA, out, build, chunker, resume)
+    // simulate a crash inside the shard-swap window of a previous update
+    val m = TableIO.readManifest(out.manifest).get
+    TableIO.writeManifest(out.manifest, m + ("pending_incremental" -> "0,1"))
+    val targetUrl = pagesA.select("url").as[String].orderBy("url").head()
+    val pagesB = pagesA.map(p =>
+      if (p.url == targetUrl) p.copy(text = p.text + " post crash content") else p)
+    val stats = ResumableBuild.incrementalUpdate(
+      spark, pagesB, Seq(targetUrl).toDF("url"), out, build, chunker, resume)
+    val after = TableIO.readManifest(out.manifest).get
+    assert(!after.contains("pending_incremental"), "marker must clear on rebuild")
+    assert(!after.contains("incremental_shards"),
+      "suspect blocks must take the full-rebuild path, not shard-grain")
+    assert(stats.nDocs > 0)
+    assert(spark.read.parquet(out.chunks)
+      .filter(col("text").contains("post crash content")).count() > 0)
+  }
+
   test("incremental update reprocesses only changed urls' buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
     val out = IndexPaths(dir)
