@@ -406,6 +406,14 @@ object IndexBuilder {
     val nShards = prev.nDocShards
     val chunksOut = withStaticCols(chunks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same error-path contract as build(): a failed update must never
+    // leave the detached chunk-table commit racing a caller's retry
+    var pendingChunksWrite: Option[scala.concurrent.Future[Unit]] = None
+    def drainPending(): Unit = pendingChunksWrite.foreach { f =>
+      try scala.concurrent.Await.ready(f,
+        scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES))
+      catch { case _: Throwable => () }
+    }
     try {
       val lenRow = chunksOut
         .agg(count(lit(1)), sum("dl"), max(col("pattern_b") + col("meta_b"))).head()
@@ -415,15 +423,21 @@ object IndexBuilder {
       val maxStaticBonus = lenRow.getDouble(2)
       val avgdl = totalTokens.toDouble / nDocs
 
-      // chunk table rewrite (same layout as build)
-      if (cfg.nChunkBuckets > 0)
-        chunksOut
-          .withColumn("cbucket",
-            pmod(xxhash64(col("chunkId")), lit(cfg.nChunkBuckets)).cast("int"))
-          .repartition(cfg.nChunkBuckets, col("cbucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("cbucket").parquet(out.chunks)
-      else
-        chunksOut.write.mode(SaveMode.Overwrite).parquet(out.chunks)
+      // chunk table rewrite (same layout as build), run CONCURRENTLY with
+      // the shard rebuild below — both consume the cached chunksOut rows,
+      // so the commit I/O hides behind the exchange compute (same overlap
+      // pattern as build(); awaited before returning)
+      val chunksWrite = scala.concurrent.Future {
+        if (cfg.nChunkBuckets > 0)
+          chunksOut
+            .withColumn("cbucket",
+              pmod(xxhash64(col("chunkId")), lit(cfg.nChunkBuckets)).cast("int"))
+            .repartition(cfg.nChunkBuckets, col("cbucket"))
+            .write.mode(SaveMode.Overwrite).partitionBy("cbucket").parquet(out.chunks)
+        else
+          chunksOut.write.mode(SaveMode.Overwrite).parquet(out.chunks)
+      }(scala.concurrent.ExecutionContext.global)
+      pendingChunksWrite = Some(chunksWrite)
 
       // rebuild ONLY the affected shards' blocks: filter on the shard hash
       // of chunkId (cheap id-column predicate), re-run the same exchange +
@@ -454,6 +468,8 @@ object IndexBuilder {
       // stats refresh from the FULL (updated) block-grain table
       val (vocabSize, avgRawIdf, eps) =
         writeTermStats(spark.read.parquet(out.blocks), nDocs, out, cfg)
+      scala.concurrent.Await.result(chunksWrite,
+        scala.concurrent.duration.Duration.Inf)
 
       val wallMs = (System.nanoTime() - t0) / 1000000
       import scala.jdk.CollectionConverters._
@@ -475,6 +491,8 @@ object IndexBuilder {
         "incremental_shards" -> affectedShards.sorted.mkString(","),
         "build_wall_ms" -> wallMs.toString))
       stats
+    } catch {
+      case t: Throwable => drainPending(); throw t
     } finally chunksOut.unpersist()
   }
 }
