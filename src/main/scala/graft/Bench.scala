@@ -165,7 +165,8 @@ object Bench {
     val paths = IndexPaths(benchRoot())
     val (stats, secs) = time {
       IndexBuilder.build(s, graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()),
-        paths, BuildConfig(shufflePartitions = s.sparkContext.defaultParallelism * 4))
+        paths, BuildConfig(shufflePartitions =
+          BuildConfig.shufflePartitionsFor(s.sparkContext.defaultParallelism)))
     }
     (secs, stats.nDocs, paths)
   }

@@ -133,7 +133,8 @@ object GraftCli {
         // across reducers (cores-sized partitions leave stragglers — A/B'd
         // at local[4]/local[16]: 27.1->24.3s / 11.0->9.2s, BENCH.md r4)
         val stats = ResumableBuild.run(spark, pages, paths,
-          BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism * 4),
+          BuildConfig(shufflePartitions =
+            BuildConfig.shufflePartitionsFor(spark.sparkContext.defaultParallelism)),
           ChunkerConfig(), ResumableBuild.ResumeConfig())
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[graft] indexed ${stats.nDocs} chunks from $nPages pages in $secs%.1fs " +
@@ -245,8 +246,10 @@ object GraftCli {
             .map(p => PageDoc(p.url, 1, p.text, None))
           val dir = java.nio.file.Files.createTempDirectory("probe").toString
           // SPARK_GRAFT_SHUF_MULT: experiment knob — shuffle partitions as a
-          // multiple of cores (4 = the production default, see BENCH.md r4)
-          val mult = sys.env.getOrElse("SPARK_GRAFT_SHUF_MULT", "4").toInt
+          // multiple of cores; defaults to the production grain so the
+          // probe measures what ships (BENCH.md r4)
+          val mult = sys.env.getOrElse("SPARK_GRAFT_SHUF_MULT",
+            BuildConfig.ShuffleGrainPerCore.toString).toInt
           val t0 = System.nanoTime()
           IndexBuilder.build(s, graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()),
             IndexPaths(dir), BuildConfig(
@@ -282,7 +285,8 @@ object GraftCli {
         IndexBuilder.build(spark,
           graft.corpus.ChunkerJob.chunk(pages.limit(1000), ChunkerConfig()),
           IndexPaths(s"${paths.root}-warm"),
-          BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism * 4))
+          BuildConfig(shufflePartitions =
+            BuildConfig.shufflePartitionsFor(spark.sparkContext.defaultParallelism)))
         val reps = sys.env.getOrElse("SPARK_GRAFT_BUILD_REPS", "1").toInt
         var best = Double.MaxValue
         var lastStats: graft.index.GlobalStats = null
@@ -290,7 +294,8 @@ object GraftCli {
           val t0 = System.nanoTime()
           lastStats = IndexBuilder.build(spark,
             graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()), paths,
-            BuildConfig(shufflePartitions = spark.sparkContext.defaultParallelism * 4))
+            BuildConfig(shufflePartitions =
+            BuildConfig.shufflePartitionsFor(spark.sparkContext.defaultParallelism)))
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         }
         println(f"[graft] directbuild ${lastStats.nDocs} chunks in $best%.1fs " +

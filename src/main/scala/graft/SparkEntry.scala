@@ -382,26 +382,35 @@ object SparkEntry {
             ORDER BY round(score, 4) DESC, doc_id LIMIT 20""")
         .as[(Long, Double)].collect().toIndexedSeq
       val ids = pool.map(_._1)
-      val embById = spark.sql(
-        s"""SELECT vec_id, embedding FROM embeddings
-            WHERE vec_id = 0 OR vec_id IN (${ids.mkString(",")})""")
-        .as[(Long, Array[Float])].collect().toMap
-      def l2(a: Array[Float]): Array[Float] = {
-        var n = 0.0; var i = 0
-        while (i < a.length) { n += a(i).toDouble * a(i).toDouble; i += 1 }
-        val d = math.sqrt(n)
-        a.map(x => (x.toDouble / d).toFloat)
+      if (ids.isEmpty) // no matches: empty frame, not `IN ()` parse error
+        spark.emptyDataset[(Long, Double, Double)]
+          .toDF("doc_id", "bm25", "combined")
+      else {
+        // NOTE: both dialects assume full embedding coverage of the pool
+        // (vec_id 0..N-1 mirrors doc_id — the testdata contract). A
+        // missing embedding would take the reference's wholesale fallback
+        // here (raw scores) vs the oracle's inner-join drop.
+        val embById = spark.sql(
+          s"""SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id = 0 OR vec_id IN (${ids.mkString(",")})""")
+          .as[(Long, Array[Float])].collect().toMap
+        def l2(a: Array[Float]): Array[Float] = {
+          var n = 0.0; var i = 0
+          while (i < a.length) { n += a(i).toDouble * a(i).toDouble; i += 1 }
+          val d = math.sqrt(n)
+          a.map(x => (x.toDouble / d).toFloat)
+        }
+        val provider = new graft.query.EmbeddingProvider {
+          def embed(key: String): Option[Array[Float]] = embById.get(key.toLong).map(l2)
+          def embedQuery(q: String): Option[Array[Float]] = embById.get(0L).map(l2)
+        }
+        val combined = graft.query.Semantic.semanticRerank(
+          QTerms.mkString(" "), ids.map(_.toString), pool.map(_._2), provider)
+        pool.zip(combined).map { case ((id, s), c) => (id, s, c) }
+          .toDF("doc_id", "bm25", "combined")
+          .select(col("doc_id"), col("bm25"), fround(col("combined"), 4).as("combined"))
+          .orderBy(desc("combined"), asc("doc_id"))
       }
-      val provider = new graft.query.EmbeddingProvider {
-        def embed(key: String): Option[Array[Float]] = embById.get(key.toLong).map(l2)
-        def embedQuery(q: String): Option[Array[Float]] = embById.get(0L).map(l2)
-      }
-      val combined = graft.query.Semantic.semanticRerank(
-        QTerms.mkString(" "), ids.map(_.toString), pool.map(_._2), provider)
-      pool.zip(combined).map { case ((id, s), c) => (id, s, c) }
-        .toDF("doc_id", "bm25", "combined")
-        .select(col("doc_id"), col("bm25"), fround(col("combined"), 4).as("combined"))
-        .orderBy(desc("combined"), asc("doc_id"))
     }),
 
     // --- embeddings: similarity search (training-data ops) ---

@@ -70,6 +70,19 @@ case class BuildConfig(
     else math.min(4096L, math.max(4L, nDocs / 250000L + 1L)).toInt
 }
 
+object BuildConfig {
+  /** Shuffle partitions per core for the posting exchange. Cores-sized
+    * partitions leave (bucket, shard)-group stragglers; 4x was A/B'd best
+    * on absolute time at both local[4] and local[16] (BENCH.md round 4) and
+    * matches fine-grained-tasks + AQE-coalesce practice on a real cluster.
+    * ONE constant — production call sites and the scaling probes must
+    * benchmark the same grain they ship.
+    */
+  val ShuffleGrainPerCore = 4
+
+  def shufflePartitionsFor(cores: Int): Int = cores * ShuffleGrainPerCore
+}
+
 case class IndexPaths(root: String) {
   def chunks = s"$root/chunks"
   def blocks = s"$root/blocks"
@@ -369,7 +382,17 @@ object IndexBuilder {
 
   def loadStats(spark: SparkSession, out: IndexPaths): GlobalStats = {
     import spark.implicits._
-    spark.read.parquet(out.globalStats).as[GlobalStats].head()
+    // read-compat with pre-r4 indexes that lack the shard/avgdl lineage
+    // columns: default them instead of failing the whole backend —
+    // nDocShards=0 just disables the incremental path (full rebuild on
+    // next update) and minBlockAvgdl=0 keeps WAND's bound scale at 1
+    // (valid: such an index was fully built under its current avgdl).
+    var df = spark.read.parquet(out.globalStats)
+    if (!df.columns.contains("nDocShards"))
+      df = df.withColumn("nDocShards", lit(0))
+    if (!df.columns.contains("minBlockAvgdl"))
+      df = df.withColumn("minBlockAvgdl", lit(0.0))
+    df.as[GlobalStats].head()
   }
 
   /** Incremental index update: rebuild posting blocks ONLY for the doc
@@ -423,6 +446,19 @@ object IndexBuilder {
       val maxStaticBonus = lenRow.getDouble(2)
       val avgdl = totalTokens.toDouble / nDocs
 
+      // The update's destructive window opens at the FIRST on-disk
+      // mutation — the chunk-table overwrite below (a crash after it but
+      // before the shard swap would leave a new chunk table over old
+      // blocks, and the next update's (chunkId, hash) diff against the
+      // already-updated table would read as "nothing changed"). Mark the
+      // manifest before touching anything; cleared only by the final
+      // commit, and a surviving marker makes ResumableBuild take the
+      // full-rebuild path (lineage correctness under crash at any phase
+      // boundary).
+      val preManifest = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
+      TableIO.writeManifest(out.manifest, preManifest +
+        ("pending_incremental" -> affectedShards.sorted.mkString(",")))
+
       // chunk table rewrite (same layout as build), run CONCURRENTLY with
       // the shard rebuild below — both consume the cached chunksOut rows,
       // so the commit I/O hides behind the exchange compute (same overlap
@@ -441,15 +477,8 @@ object IndexBuilder {
 
       // rebuild ONLY the affected shards' blocks: filter on the shard hash
       // of chunkId (cheap id-column predicate), re-run the same exchange +
-      // assembly over that slice, then swap the (bucket, shard) dirs.
-      // The swap window (dirs deleted, new data not yet committed) is the
-      // one non-atomic phase boundary of this path: mark it in the
-      // manifest first — a crash inside leaves `pending_incremental` set,
-      // which ResumableBuild treats as "blocks are suspect, full rebuild"
-      // on the next run (lineage correctness under crash at any boundary).
-      val preManifest = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
-      TableIO.writeManifest(out.manifest, preManifest +
-        ("pending_incremental" -> affectedShards.sorted.mkString(",")))
+      // assembly over that slice, then swap the (bucket, shard) dirs
+      // (covered by the pending marker written above).
       val metricsAcc = spark.sparkContext
         .collectionAccumulator[PartitionMetric]("block-build-incremental")
       val shardCol = pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int")

@@ -206,31 +206,51 @@ object ResumableBuild {
     prev match {
       case None => indexPhase(spark, out, build, resume)
       case Some(p) =>
+        // the dedup shuffle feeds both the diff and (on the incremental
+        // path) the rebuild — cache it so it runs once per update
         val merged = mergedChunks(spark, out, resume)
-        // changed chunks = symmetric diff of (chunkId, text-hash) between
-        // the indexed chunk table and the new merged corpus — collected
-        // EAGERLY (shard-count-bounded) before the chunk table is
-        // overwritten underneath the diff's scan
-        val oldSig = spark.read.parquet(out.chunks)
-          .select(col("chunkId"), xxhash64(col("text")).as("h"))
-        val newSig = merged.toDF().select(col("chunkId"), xxhash64(col("text")).as("h"))
-        val shards = newSig.except(oldSig).union(oldSig.except(newSig))
-          .select(pmod(xxhash64(col("chunkId")), lit(p.nDocShards)).cast("int").as("s"))
-          .distinct().as[Int].collect().toSeq.sorted
-        if (shards.isEmpty) p // nothing changed — index already current
-        else if (shards.length * 2 > p.nDocShards)
-          indexPhase(spark, out, build, resume)
-        else {
-          // cfg passed unchanged (its configHash must equal the recorded
-          // one — incrementalBuild reads the resolved shard count from
-          // `p.nDocShards`, not the config)
-          val stats = IndexBuilder.incrementalBuild(spark, merged, out,
-            build, p, shards)
-          val manifest = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
-          TableIO.writeManifest(out.manifest,
-            manifest + ("parent_snapshot" -> p.snapshotId))
-          stats
-        }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // changed chunks = symmetric diff of (chunkId, hash(text, meta))
+          // between the indexed chunk table and the new merged corpus —
+          // meta is in the signature because the precomputed static-bonus
+          // columns and the served citations depend on it, not just on
+          // text. Collected EAGERLY (shard-count-bounded) before the chunk
+          // table is overwritten underneath the diff's scan; an unreadable
+          // chunk table (torn previous overwrite) means the diff base is
+          // gone — full rebuild, never a wedged retry loop.
+          def sig(df: DataFrame) =
+            df.select(col("chunkId"), xxhash64(col("text"), col("meta")).as("h"))
+          val shardsTry = scala.util.Try {
+            val oldSig = sig(spark.read.parquet(out.chunks))
+            val newSig = sig(merged.toDF())
+            newSig.except(oldSig).union(oldSig.except(newSig))
+              .select(pmod(xxhash64(col("chunkId")), lit(p.nDocShards))
+                .cast("int").as("s"))
+              .distinct().as[Int].collect().toSeq.sorted
+          }
+          shardsTry match {
+            case scala.util.Failure(e) =>
+              System.err.println(
+                s"[incremental] diff base unreadable (${e.getMessage}) — full rebuild")
+              indexPhase(spark, out, build, resume)
+            case scala.util.Success(shards) =>
+              if (shards.isEmpty) p // nothing changed — index already current
+              else if (shards.length * 2 > p.nDocShards)
+                indexPhase(spark, out, build, resume)
+              else {
+                // cfg passed unchanged (its configHash must equal the
+                // recorded one — incrementalBuild reads the resolved shard
+                // count from `p.nDocShards`, not the config)
+                val stats = IndexBuilder.incrementalBuild(spark, merged, out,
+                  build, p, shards)
+                val manifest = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
+                TableIO.writeManifest(out.manifest,
+                  manifest + ("parent_snapshot" -> p.snapshotId))
+                stats
+              }
+          }
+        } finally merged.unpersist()
     }
   }
 }
