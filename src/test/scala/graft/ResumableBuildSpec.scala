@@ -189,6 +189,26 @@ class ResumableBuildSpec extends AnyFunSuite {
       .filter(col("text").contains("incremental shard sentinel")).count() > 0)
   }
 
+  test("a metadata-only change is caught by the incremental diff (static bonuses depend on it)") {
+    val build16 = build.copy(nDocShards = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-metaincr").toString
+    val out = IndexPaths(dir)
+    ResumableBuild.run(spark, pagesA, out, build16, chunker, resume)
+    val targetUrl = pagesA.select("url").as[String].orderBy("url").head()
+    // text byte-identical, only the title (-> ChunkMeta -> meta_b) changes
+    val pagesB = pagesA.map(p =>
+      if (p.url == targetUrl) p.copy(title = Some("Abstract Fresh Title")) else p)
+    ResumableBuild.incrementalUpdate(
+      spark, pagesB, Seq(targetUrl).toDF("url"), out, build16, chunker, resume)
+    val manifest = TableIO.readManifest(out.manifest).get
+    assert(manifest.contains("incremental_shards"),
+      "a (text, meta) diff must see the title change — text-only hashing misses it")
+    val served = spark.read.parquet(out.chunks)
+      .filter(col("source") === targetUrl)
+      .select("meta.title").as[Option[String]].collect()
+    assert(served.nonEmpty && served.forall(_.contains("Abstract Fresh Title")))
+  }
+
   test("a crashed incremental swap (pending_incremental marker) forces a full rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pending").toString
     val out = IndexPaths(dir)
