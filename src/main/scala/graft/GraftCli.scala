@@ -363,6 +363,21 @@ object GraftCli {
         val np = IndexBuilder.postings(persisted).count()
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[graft] postbench: $np postings in $secs%.1fs")
+      case "catbench" =>
+        // time individual catalog queries against an sf dir:
+        //   catbench <sfDir> [queryName...]   (all queries when none named)
+        val sfDir = args(1)
+        val names =
+          if (args.length > 2) args.drop(2).toSeq
+          else SparkEntry.queries.keys.toSeq.sorted
+        for (n <- names) {
+          val fn = SparkEntry.queries(n)
+          fn(spark, sfDir).count() // warm
+          SparkEntryExtra.clearSearchMemo()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          println(f"[graft] catbench $n: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
       case "stats" =>
         println(TableIO.readManifest(paths.manifest).getOrElse(Map.empty)
           .toSeq.sortBy(_._1).map { case (k, v) => s"  $k = $v" }.mkString("\n"))

@@ -285,14 +285,22 @@ object SparkEntry {
             FROM (SELECT doc_id, explode(${Sql.shinglesSpark("tk")}) AS shingle FROM toks)""")
         .localCheckpoint(true)
         .createOrReplaceTempView("graft_jacc_sh")
+      // size-ratio prune (exact, not approximate): j = i/(na+nb-i) >= 0.2
+      // with i <= min(na, nb) forces 5*min >= max — pairs outside that
+      // ratio can never pass the threshold, so dropping them BEFORE the
+      // pair aggregation (the query's dominant cost) changes nothing in
+      // the output while cutting the self-join's group sizes. The DuckDB
+      // oracle applies the identical predicate.
       spark.sql(
         """WITH rare AS (SELECT shingle FROM graft_jacc_sh
                          GROUP BY shingle HAVING count(*) <= 1000),
-          shr AS (SELECT sh.doc_id, sh.shingle FROM graft_jacc_sh sh
-                  JOIN rare ON sh.shingle = rare.shingle),
           sizes AS (SELECT doc_id, count(*) AS n FROM graft_jacc_sh GROUP BY doc_id),
+          shr AS (SELECT sh.doc_id, sh.shingle, s.n FROM graft_jacc_sh sh
+                  JOIN rare ON sh.shingle = rare.shingle
+                  JOIN sizes s ON s.doc_id = sh.doc_id),
           inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
                     FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                         AND greatest(a.n, b.n) <= 5 * least(a.n, b.n)
                     GROUP BY a.doc_id, b.doc_id)
           SELECT x, y, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
           FROM inter JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y
@@ -538,10 +546,13 @@ object SparkEntry {
           sh AS (SELECT DISTINCT doc_id, shingle
                  FROM (SELECT doc_id, unnest(${Sql.shinglesDuck("tk")}) AS shingle FROM toks)),
           rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
-          shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          shr AS (SELECT sh.doc_id, sh.shingle, s.n FROM sh
+                  JOIN rare ON sh.shingle = rare.shingle
+                  JOIN sizes s ON s.doc_id = sh.doc_id),
           inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
                     FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                         AND greatest(a.n, b.n) <= 5 * least(a.n, b.n)
                     GROUP BY a.doc_id, b.doc_id)
           SELECT x, y, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
           FROM inter JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y
