@@ -14,6 +14,7 @@ import graft.query.{Pipeline, PipelineConfig, SparkBackend, Wand}
   *   graft.GraftCli subprocess <indexDir> [reqFile]     — one JSON request
   *   graft.GraftCli subprocess <indexDir> --batch <f> [--output <f>]
   *                                                      — batch query mode
+  *   graft.GraftCli catbench <sfDir> [query...]         — time catalog queries
   */
 object GraftCli {
 
