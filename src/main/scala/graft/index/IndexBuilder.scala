@@ -61,9 +61,20 @@ case class BuildConfig(
       * extra clustering shuffle of the chunk table at build time.
       */
     nChunkBuckets: Int = 0,
+    /** chunk-table url-hash partitions (0 = off). With them the
+      * INCREMENTAL chunk-table rewrite touches only the url-buckets whose
+      * chunks changed (dynamic-partition overwrite) instead of re-running
+      * the static-bonus analyzer pass + full-table write over the whole
+      * corpus — at 10^12 chunks the update's chunk-side cost becomes
+      * proportional to the change, with global stats refreshed from a
+      * narrow column scan. Must equal ResumableBuild's nInputBuckets (the
+      * same url-hash addresses both layouts); part of configHash because
+      * a layout change invalidates the partial-overwrite contract.
+      */
+    nUrlBuckets: Int = 0,
     shufflePartitions: Int = 32) {
   def configHash: String =
-    Analyzer.md5Hex(s"$k1|$b|$epsilon|$nTermBuckets|$nDocShards|$blockSize")
+    Analyzer.md5Hex(s"$k1|$b|$epsilon|$nTermBuckets|$nDocShards|$blockSize|$nUrlBuckets")
 
   def resolveDocShards(nDocs: Long): Int =
     if (nDocShards > 0) nDocShards
@@ -175,6 +186,38 @@ object IndexBuilder {
       .withColumn("gib", col("__st._3"))
       .withColumn("dl", col("__st._4"))
       .drop("__st")
+  }
+
+  /** Chunk-table writer shared by the full and incremental paths.
+    * Partition columns: `ubucket` (url hash — the unit of incremental
+    * overwrite) and/or `cbucket` (chunkId hash — the unit of candidate-
+    * fetch pruning), both optional. The frame is clustered on the
+    * partition columns first (an unclustered partitionBy write opens
+    * tasks × dirs parquet writers). `dynamic` = overwrite only the
+    * partitions present in the frame (the incremental contract).
+    */
+  private def writeChunksTable(chunksDF: DataFrame, cfg: BuildConfig,
+                               out: IndexPaths, dynamic: Boolean): Unit = {
+    var df = chunksDF
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (cfg.nUrlBuckets > 0) {
+      df = df.withColumn("ubucket",
+        pmod(xxhash64(col("source")), lit(cfg.nUrlBuckets)).cast("int"))
+      parts += "ubucket"
+    }
+    if (cfg.nChunkBuckets > 0) {
+      df = df.withColumn("cbucket",
+        pmod(xxhash64(col("chunkId")), lit(cfg.nChunkBuckets)).cast("int"))
+      parts += "cbucket"
+    }
+    if (parts.isEmpty) df.write.mode(SaveMode.Overwrite).parquet(out.chunks)
+    else {
+      val nParts = math.max(cfg.nUrlBuckets, 1) * math.max(cfg.nChunkBuckets, 1)
+      val w = df.repartition(nParts, parts.toSeq.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+        .partitionBy(parts.toSeq: _*).parquet(out.chunks)
+    }
   }
 
   /** The single posting-grain exchange + streaming block assembly: the
@@ -294,14 +337,7 @@ object IndexBuilder {
     // compute; on a cluster the jobs just share executors. Awaited before
     // returning — callers read out.chunks after build().
     val chunksWrite = scala.concurrent.Future {
-      if (cfg.nChunkBuckets > 0)
-        chunksOut
-          .withColumn("cbucket",
-            pmod(xxhash64(col("chunkId")), lit(cfg.nChunkBuckets)).cast("int"))
-          .repartition(cfg.nChunkBuckets, col("cbucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("cbucket").parquet(out.chunks)
-      else
-        chunksOut.write.mode(SaveMode.Overwrite).parquet(out.chunks)
+      writeChunksTable(chunksOut, cfg, out, dynamic = false)
     }(scala.concurrent.ExecutionContext.global)
     pendingWrites += chunksWrite
 
@@ -413,21 +449,34 @@ object IndexBuilder {
     *  - untouched blocks keep maxTfNorm computed under the previous avgdl;
     *    `minBlockAvgdl` records the floor so WAND's upper bounds stay
     *    valid (see GlobalStats scaladoc);
-    *  - the chunk table is rewritten (its static-bonus columns are a
-    *    narrow, shuffle-free map — the posting exchange is what this path
-    *    avoids); callers gate on `prev.configHash`/shard-count equality
-    *    and fall back to the full build otherwise (ResumableBuild).
+    *  - the chunk table: with `cfg.nUrlBuckets > 0` (the ResumableBuild
+    *    default) only the url-bucket partitions containing changed chunks
+    *    are rewritten (dynamic-partition overwrite) — the static-bonus
+    *    analyzer pass runs over those buckets' chunks alone, and the
+    *    global N/avgdl/maxStaticBonus re-fit combines a NARROW
+    *    (dl/pattern_b/meta_b) column scan of the untouched partitions
+    *    with the new partitions' aggregate. Without url-buckets the whole
+    *    table is rewritten (pre-r4 behavior). Callers gate on
+    *    `prev.configHash`/shard-record equality and fall back to the full
+    *    build otherwise (ResumableBuild).
     */
   def incrementalBuild(spark: SparkSession, chunks: Dataset[ChunkRow],
                        out: IndexPaths, cfg: BuildConfig, prev: GlobalStats,
-                       affectedShards: Seq[Int]): GlobalStats = {
+                       affectedShards: Seq[Int],
+                       affectedUBuckets: Seq[Int] = Nil): GlobalStats = {
     import spark.implicits._
     require(prev.nDocShards > 0, "previous build did not record nDocShards")
     require(cfg.configHash == prev.configHash,
       "config changed — incremental update invalid, run a full build")
     val t0 = System.nanoTime()
     val nShards = prev.nDocShards
-    val chunksOut = withStaticCols(chunks)
+    val partialChunks = cfg.nUrlBuckets > 0 && affectedUBuckets.nonEmpty
+    val ubucketCol =
+      pmod(xxhash64(col("source")), lit(math.max(1, cfg.nUrlBuckets))).cast("int")
+    // static-bonus pass over ONLY the rows whose partitions get rewritten
+    val chunksOut = withStaticCols(
+      if (partialChunks) chunks.filter(ubucketCol.isin(affectedUBuckets: _*))
+      else chunks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // same error-path contract as build(): a failed update must never
     // leave the detached chunk-table commit racing a caller's retry
@@ -438,12 +487,25 @@ object IndexBuilder {
       catch { case _: Throwable => () }
     }
     try {
-      val lenRow = chunksOut
-        .agg(count(lit(1)), sum("dl"), max(col("pattern_b") + col("meta_b"))).head()
-      val nDocs = lenRow.getLong(0)
+      def agg3(df: DataFrame): (Long, Long, Double) = {
+        val r = df.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)),
+          coalesce(max(col("pattern_b") + col("meta_b")), lit(0.0))).head()
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      }
+      val (newN, newTok, newMax) = agg3(chunksOut.toDF())
+      // untouched partitions contribute via a narrow column scan of the
+      // EXISTING table, pruned to the unaffected ubucket dirs (never
+      // reads text — the whole point of the partial path)
+      val (oldN, oldTok, oldMax) =
+        if (partialChunks)
+          agg3(spark.read.parquet(out.chunks)
+            .filter(!col("ubucket").isin(affectedUBuckets: _*))
+            .select("dl", "pattern_b", "meta_b"))
+        else (0L, 0L, 0.0)
+      val nDocs = newN + oldN
       require(nDocs > 0, "empty corpus")
-      val totalTokens = lenRow.getLong(1)
-      val maxStaticBonus = lenRow.getDouble(2)
+      val totalTokens = newTok + oldTok
+      val maxStaticBonus = math.max(newMax, oldMax)
       val avgdl = totalTokens.toDouble / nDocs
 
       // The update's destructive window opens at the FIRST on-disk
@@ -459,30 +521,36 @@ object IndexBuilder {
       TableIO.writeManifest(out.manifest, preManifest +
         ("pending_incremental" -> affectedShards.sorted.mkString(",")))
 
-      // chunk table rewrite (same layout as build), run CONCURRENTLY with
-      // the shard rebuild below — both consume the cached chunksOut rows,
-      // so the commit I/O hides behind the exchange compute (same overlap
-      // pattern as build(); awaited before returning)
+      // chunk table rewrite — affected ubucket partitions only when the
+      // table is url-bucketed — run CONCURRENTLY with the shard rebuild
+      // below (same overlap pattern as build(); awaited before returning).
+      // Affected dirs are pre-deleted (inside the marker-covered window):
+      // dynamic overwrite only replaces partitions PRESENT in the new
+      // frame, and an emptied (ubucket, cbucket) combination would
+      // otherwise survive as a stale directory.
+      if (partialChunks) {
+        val conf0 = spark.sparkContext.hadoopConfiguration
+        for (u <- affectedUBuckets) {
+          val dir = new org.apache.hadoop.fs.Path(s"${out.chunks}/ubucket=$u")
+          val fs = dir.getFileSystem(conf0)
+          if (fs.exists(dir)) fs.delete(dir, true)
+        }
+      }
       val chunksWrite = scala.concurrent.Future {
-        if (cfg.nChunkBuckets > 0)
-          chunksOut
-            .withColumn("cbucket",
-              pmod(xxhash64(col("chunkId")), lit(cfg.nChunkBuckets)).cast("int"))
-            .repartition(cfg.nChunkBuckets, col("cbucket"))
-            .write.mode(SaveMode.Overwrite).partitionBy("cbucket").parquet(out.chunks)
-        else
-          chunksOut.write.mode(SaveMode.Overwrite).parquet(out.chunks)
+        writeChunksTable(chunksOut.toDF(), cfg, out, dynamic = partialChunks)
       }(scala.concurrent.ExecutionContext.global)
       pendingChunksWrite = Some(chunksWrite)
 
       // rebuild ONLY the affected shards' blocks: filter on the shard hash
       // of chunkId (cheap id-column predicate), re-run the same exchange +
       // assembly over that slice, then swap the (bucket, shard) dirs
-      // (covered by the pending marker written above).
+      // (covered by the pending marker written above). The exchange input
+      // is the raw merged corpus — postings derive tf/dl from the text
+      // directly, no dependency on the (partial) static columns.
       val metricsAcc = spark.sparkContext
         .collectionAccumulator[PartitionMetric]("block-build-incremental")
       val shardCol = pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int")
-      val affectedChunks = chunksOut.filter(shardCol.isin(affectedShards: _*))
+      val affectedChunks = chunks.filter(shardCol.isin(affectedShards: _*)).toDF()
       val newBlocks = assembleBlocks(spark, affectedChunks, cfg, nShards,
         avgdl, metricsAcc)
       val conf = spark.sparkContext.hadoopConfiguration
@@ -518,6 +586,8 @@ object IndexBuilder {
         "n_docs" -> nDocs.toString, "total_tokens" -> totalTokens.toString,
         "config_hash" -> cfg.configHash, "n_doc_shards" -> nShards.toString,
         "incremental_shards" -> affectedShards.sorted.mkString(","),
+        "incremental_ubuckets" ->
+          (if (partialChunks) affectedUBuckets.sorted.mkString(",") else "all"),
         "build_wall_ms" -> wallMs.toString))
       stats
     } catch {

@@ -90,6 +90,13 @@ object ResumableBuild {
     toProcess
   }
 
+  /** The chunk table under ResumableBuild is always url-bucketed with the
+    * SAME bucket count/hash as the chunks_raw layout — the partition grain
+    * of the incremental chunk-table overwrite (IndexBuilder.writeChunksTable).
+    */
+  private def withUrlBuckets(build: BuildConfig, resume: ResumeConfig): BuildConfig =
+    build.copy(nUrlBuckets = resume.nInputBuckets)
+
   /** Phase 2: merge chunk buckets (global dedup across buckets) + build
     * the index; manifest records lineage to the previous snapshot.
     */
@@ -98,7 +105,8 @@ object ResumableBuild {
     import spark.implicits._
     val parent = TableIO.readManifest(out.manifest)
       .flatMap(_.get("snapshot_id")).getOrElse("none")
-    val stats = IndexBuilder.build(spark, mergedChunks(spark, out, resume), out, build)
+    val stats = IndexBuilder.build(spark, mergedChunks(spark, out, resume), out,
+      withUrlBuckets(build, resume))
     val manifest = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
     TableIO.writeManifest(out.manifest, manifest + ("parent_snapshot" -> parent))
     stats
@@ -197,9 +205,10 @@ object ResumableBuild {
     // so the only safe base is a full rebuild
     val interrupted = TableIO.readManifest(out.manifest)
       .exists(_.contains("pending_incremental"))
+    val effBuild = withUrlBuckets(build, resume)
     val prev = scala.util.Try(IndexBuilder.loadStats(spark, out)).toOption
       .filter(p => !interrupted && p.nDocShards > 0 &&
-        p.configHash == build.configHash &&
+        p.configHash == effBuild.configHash &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(out.chunks)))
     chunkBuckets(spark, pages, out, chunker, resume.nInputBuckets, buckets,
       Map("incremental" -> "true"))
@@ -219,31 +228,37 @@ object ResumableBuild {
           // table is overwritten underneath the diff's scan; an unreadable
           // chunk table (torn previous overwrite) means the diff base is
           // gone — full rebuild, never a wedged retry loop.
+          // the diff carries source so the affected URL-BUCKETS (the chunk
+          // table's partial-overwrite grain) come out of the same collect
+          // as the affected doc shards
           def sig(df: DataFrame) =
-            df.select(col("chunkId"), xxhash64(col("text"), col("meta")).as("h"))
-          val shardsTry = scala.util.Try {
+            df.select(col("chunkId"), col("source"),
+              xxhash64(col("text"), col("meta")).as("h"))
+          val diffTry = scala.util.Try {
             val oldSig = sig(spark.read.parquet(out.chunks))
             val newSig = sig(merged.toDF())
             newSig.except(oldSig).union(oldSig.except(newSig))
-              .select(pmod(xxhash64(col("chunkId")), lit(p.nDocShards))
-                .cast("int").as("s"))
-              .distinct().as[Int].collect().toSeq.sorted
+              .select(
+                pmod(xxhash64(col("chunkId")), lit(p.nDocShards))
+                  .cast("int").as("s"),
+                pmod(xxhash64(col("source")), lit(resume.nInputBuckets))
+                  .cast("int").as("u"))
+              .distinct().as[(Int, Int)].collect().toSeq
           }
-          shardsTry match {
+          diffTry match {
             case scala.util.Failure(e) =>
               System.err.println(
                 s"[incremental] diff base unreadable (${e.getMessage}) — full rebuild")
               indexPhase(spark, out, build, resume)
-            case scala.util.Success(shards) =>
+            case scala.util.Success(pairs) =>
+              val shards = pairs.map(_._1).distinct.sorted
+              val ubuckets = pairs.map(_._2).distinct.sorted
               if (shards.isEmpty) p // nothing changed — index already current
               else if (shards.length * 2 > p.nDocShards)
                 indexPhase(spark, out, build, resume)
               else {
-                // cfg passed unchanged (its configHash must equal the
-                // recorded one — incrementalBuild reads the resolved shard
-                // count from `p.nDocShards`, not the config)
                 val stats = IndexBuilder.incrementalBuild(spark, merged, out,
-                  build, p, shards)
+                  effBuild, p, shards, ubuckets)
                 val manifest = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
                 TableIO.writeManifest(out.manifest,
                   manifest + ("parent_snapshot" -> p.snapshotId))

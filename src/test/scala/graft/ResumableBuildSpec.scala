@@ -120,8 +120,21 @@ class ResumableBuildSpec extends AnyFunSuite {
         }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       finally s.close()
     }
+    def filesByU(): Map[Int, Set[(String, Long)]] = {
+      val root = java.nio.file.Paths.get(out.chunks)
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map { p =>
+          val u = "ubucket=(\\d+)".r.findFirstMatchIn(p.toString).get.group(1).toInt
+          u -> ((p.toString, java.nio.file.Files.size(p)))
+        }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      finally s.close()
+    }
     val before = filesByShard()
+    val beforeU = filesByU()
     assert(before.keySet.size > 4, "setup: expected many shard dirs")
+    assert(beforeU.keySet.size > 4, "setup: expected many ubucket dirs")
 
     // one url gets new text; everything else byte-identical
     val targetUrl = pagesA.select("url").as[String].orderBy("url").head()
@@ -139,6 +152,10 @@ class ResumableBuildSpec extends AnyFunSuite {
     val incShards = manifest("incremental_shards").split(",").map(_.toInt).toSet
     assert(incShards.nonEmpty && incShards.size < 8,
       s"one url should touch few shards, got $incShards")
+    // chunk-table grain: only the changed url's ubucket partition rewritten
+    val incU = manifest("incremental_ubuckets")
+    assert(incU != "all" && incU.split(",").length < resume.nInputBuckets / 2,
+      s"one url should touch few ubuckets, got $incU")
     val after = filesByShard()
     for (s <- before.keySet -- incShards)
       assert(after.get(s).contains(before(s)),
@@ -146,6 +163,16 @@ class ResumableBuildSpec extends AnyFunSuite {
     for (s <- incShards if before.contains(s))
       assert(after.getOrElse(s, Set.empty) != before(s),
         s"affected shard $s kept its old files")
+    // untouched url-bucket partitions keep their exact chunk files too —
+    // the static-bonus analyzer pass never ran over them
+    val incUSet = incU.split(",").map(_.toInt).toSet
+    val afterU = filesByU()
+    for (u <- beforeU.keySet -- incUSet)
+      assert(afterU.get(u).contains(beforeU(u)),
+        s"untouched ubucket $u was rewritten")
+    for (u <- incUSet if beforeU.contains(u))
+      assert(afterU.getOrElse(u, Set.empty) != beforeU(u),
+        s"affected ubucket $u kept its old files")
 
     // result parity vs a from-scratch build over the same final corpus
     val out2 = IndexPaths(
