@@ -96,6 +96,11 @@ object BuildConfig {
 
 case class IndexPaths(root: String) {
   def chunks = s"$root/chunks"
+  /** (chunkId, content-signature) side table, ubucket-partitioned like the
+    * chunk table: lets the incremental diff read 16 B/chunk of OLD state
+    * instead of re-hashing the whole old corpus text (IndexBuilder.sigCol).
+    */
+  def chunkSigs = s"$root/chunk_sigs"
   def blocks = s"$root/blocks"
   def termStats = s"$root/term_stats"
   def globalStats = s"$root/global_stats"
@@ -220,6 +225,33 @@ object IndexBuilder {
     }
   }
 
+  /** Content signature of a chunk for change detection: text AND meta
+    * (static bonuses + served citations depend on metadata, not just
+    * text). The SAME expression hashes the new merged corpus at diff time
+    * and writes the chunk_sigs side table at build time.
+    */
+  def sigCol: org.apache.spark.sql.Column = xxhash64(col("text"), col("meta"))
+
+  /** Write the (chunkId, h) signature side table, ubucket-partitioned when
+    * the chunk table is (same layout = same overwrite grain). ~16 B/chunk:
+    * the incremental diff's read of OLD state.
+    */
+  private def writeChunkSigs(chunksDF: DataFrame, cfg: BuildConfig,
+                             out: IndexPaths, dynamic: Boolean): Unit = {
+    val sigs = chunksDF.select(col("chunkId"), sigCol.as("h"), col("source"))
+    if (cfg.nUrlBuckets > 0) {
+      val w = sigs
+        .withColumn("ubucket",
+          pmod(xxhash64(col("source")), lit(cfg.nUrlBuckets)).cast("int"))
+        .drop("source")
+        .repartition(cfg.nUrlBuckets, col("ubucket"))
+        .write.mode(SaveMode.Overwrite)
+      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+        .partitionBy("ubucket").parquet(out.chunkSigs)
+    } else
+      sigs.drop("source").write.mode(SaveMode.Overwrite).parquet(out.chunkSigs)
+  }
+
   /** The single posting-grain exchange + streaming block assembly: the
     * input is repartitioned on (bucket, shard), sorted, and the compressed
     * blocks are built in the pass that consumes the shuffle.
@@ -329,6 +361,16 @@ object IndexBuilder {
     val pendingWrites = scala.collection.mutable.ListBuffer.empty[scala.concurrent.Future[Unit]]
     val cleanups = scala.collection.mutable.ListBuffer.empty[() => Unit]
     cleanups += (() => chunksOut.unpersist())
+    // Crash lineage: a build that dies between its chunk-table commit and
+    // its blocks/stats commits leaves a NEW chunk table over STALE blocks —
+    // a later incremental diff against that table reads "no change" and
+    // would serve the stale blocks forever. Mark the manifest before the
+    // first destructive write; the final manifest write (wholesale
+    // replacement) clears it, and ResumableBuild treats a surviving marker
+    // as "index suspect, full rebuild".
+    TableIO.writeManifest(out.manifest,
+      TableIO.readManifest(out.manifest).getOrElse(Map.empty) +
+        ("pending_build" -> "1"))
     try {
 
     // the chunk-table parquet commit runs CONCURRENTLY with everything
@@ -378,6 +420,7 @@ object IndexBuilder {
     // ---- statistics (broadcast source) ----
     val (vocabSize, avgRawIdf, eps) = writeTermStats(blocks.toDF(), nDocs, out, cfg)
     phase("stats-agg")
+    writeChunkSigs(chunksOut, cfg, out, dynamic = false)
     scala.concurrent.Await.result(blocksWrite, scala.concurrent.duration.Duration.Inf)
     scala.concurrent.Await.result(chunksWrite, scala.concurrent.duration.Duration.Inf)
     blocks.unpersist()
@@ -530,8 +573,9 @@ object IndexBuilder {
       // otherwise survive as a stale directory.
       if (partialChunks) {
         val conf0 = spark.sparkContext.hadoopConfiguration
-        for (u <- affectedUBuckets) {
-          val dir = new org.apache.hadoop.fs.Path(s"${out.chunks}/ubucket=$u")
+        for (u <- affectedUBuckets;
+             root <- Seq(out.chunks, out.chunkSigs)) {
+          val dir = new org.apache.hadoop.fs.Path(s"$root/ubucket=$u")
           val fs = dir.getFileSystem(conf0)
           if (fs.exists(dir)) fs.delete(dir, true)
         }
@@ -565,6 +609,7 @@ object IndexBuilder {
       // stats refresh from the FULL (updated) block-grain table
       val (vocabSize, avgRawIdf, eps) =
         writeTermStats(spark.read.parquet(out.blocks), nDocs, out, cfg)
+      writeChunkSigs(chunksOut.toDF(), cfg, out, dynamic = partialChunks)
       scala.concurrent.Await.result(chunksWrite,
         scala.concurrent.duration.Duration.Inf)
 

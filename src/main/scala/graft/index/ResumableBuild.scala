@@ -200,11 +200,12 @@ object ResumableBuild {
       .select(pmod(xxhash64(urlCol), lit(resume.nInputBuckets)).cast("int").as("b"))
       .distinct().as[Int].collect().toSeq
     // prior state BEFORE the chunk phase touches anything it reads; a
-    // `pending_incremental` marker means a previous incremental update
-    // crashed inside its shard-swap window — the blocks table is suspect,
-    // so the only safe base is a full rebuild
+    // `pending_incremental` (crashed shard swap) or `pending_build`
+    // (crashed full build between its table commits) marker means the
+    // on-disk tables may be mutually inconsistent — the only safe base
+    // is a full rebuild
     val interrupted = TableIO.readManifest(out.manifest)
-      .exists(_.contains("pending_incremental"))
+      .exists(m => m.contains("pending_incremental") || m.contains("pending_build"))
     val effBuild = withUrlBuckets(build, resume)
     val prev = scala.util.Try(IndexBuilder.loadStats(spark, out)).toOption
       .filter(p => !interrupted && p.nDocShards > 0 &&
@@ -228,21 +229,34 @@ object ResumableBuild {
           // table is overwritten underneath the diff's scan; an unreadable
           // chunk table (torn previous overwrite) means the diff base is
           // gone — full rebuild, never a wedged retry loop.
-          // the diff carries source so the affected URL-BUCKETS (the chunk
-          // table's partial-overwrite grain) come out of the same collect
-          // as the affected doc shards
-          def sig(df: DataFrame) =
-            df.select(col("chunkId"), col("source"),
-              xxhash64(col("text"), col("meta")).as("h"))
+          // the diff compares (chunkId, content-hash, ubucket) — the
+          // affected doc SHARDS and URL-BUCKETS (the two partial-overwrite
+          // grains) come out of one collect. Old state comes from the
+          // chunk_sigs side table (16 B/chunk — no old-text read at 100 TB);
+          // computing it from the chunk table is the fallback for indexes
+          // that predate the side table. Any sig/chunks divergence is
+          // impossible outside a crash, and crashes set a pending marker
+          // that already forces the full rebuild.
           val diffTry = scala.util.Try {
-            val oldSig = sig(spark.read.parquet(out.chunks))
-            val newSig = sig(merged.toDF())
+            val oldSig = {
+              val sigs = scala.util.Try(spark.read.parquet(out.chunkSigs))
+                .filter(_.columns.contains("ubucket"))
+              sigs.map(_.select(col("chunkId"), col("h"),
+                  col("ubucket").cast("int").as("u")))
+                .getOrElse(spark.read.parquet(out.chunks)
+                  .select(col("chunkId"), IndexBuilder.sigCol.as("h"),
+                    pmod(xxhash64(col("source")), lit(resume.nInputBuckets))
+                      .cast("int").as("u")))
+            }
+            val newSig = merged.toDF()
+              .select(col("chunkId"), IndexBuilder.sigCol.as("h"),
+                pmod(xxhash64(col("source")), lit(resume.nInputBuckets))
+                  .cast("int").as("u"))
             newSig.except(oldSig).union(oldSig.except(newSig))
               .select(
                 pmod(xxhash64(col("chunkId")), lit(p.nDocShards))
                   .cast("int").as("s"),
-                pmod(xxhash64(col("source")), lit(resume.nInputBuckets))
-                  .cast("int").as("u"))
+                col("u"))
               .distinct().as[(Int, Int)].collect().toSeq
           }
           diffTry match {

@@ -152,6 +152,11 @@ class ResumableBuildSpec extends AnyFunSuite {
     val incShards = manifest("incremental_shards").split(",").map(_.toInt).toSet
     assert(incShards.nonEmpty && incShards.size < 8,
       s"one url should touch few shards, got $incShards")
+    // the diff's old-state source: the 16 B/chunk signature side table,
+    // mirroring the chunk table exactly (no old-text read at scale)
+    val sigs = spark.read.parquet(out.chunkSigs)
+    assert(sigs.columns.toSet == Set("chunkId", "h", "ubucket"))
+    assert(sigs.count() == spark.read.parquet(out.chunks).count())
     // chunk-table grain: only the changed url's ubucket partition rewritten
     val incU = manifest("incremental_ubuckets")
     assert(incU != "all" && incU.split(",").length < resume.nInputBuckets / 2,
@@ -255,6 +260,19 @@ class ResumableBuildSpec extends AnyFunSuite {
     assert(stats.nDocs > 0)
     assert(spark.read.parquet(out.chunks)
       .filter(col("text").contains("post crash content")).count() > 0)
+
+    // a full build that crashed between its table commits leaves
+    // pending_build — same recovery contract
+    TableIO.writeManifest(out.manifest,
+      TableIO.readManifest(out.manifest).get + ("pending_build" -> "1"))
+    val pagesC = pagesB.map(p =>
+      if (p.url == targetUrl) p.copy(text = p.text + " second change") else p)
+    ResumableBuild.incrementalUpdate(
+      spark, pagesC, Seq(targetUrl).toDF("url"), out, build, chunker, resume)
+    val after2 = TableIO.readManifest(out.manifest).get
+    assert(!after2.contains("pending_build"))
+    assert(!after2.contains("incremental_shards"),
+      "pending_build must also force the full-rebuild path")
   }
 
   test("incremental update reprocesses only changed urls' buckets") {
