@@ -178,13 +178,13 @@ object IndexBuilder {
     * extracted struct field (CollapseProject would otherwise inline it
     * 4x) — the function itself is pure.
     */
-  private def withStaticCols(chunks: Dataset[ChunkRow]): DataFrame = {
+  private def withStaticCols(chunks: DataFrame): DataFrame = {
     val staticUdf = udf((text: String, title: String) => (
       graft.analysis.Scoring.patternBonus(text),
       graft.analysis.Scoring.metadataBonus(text, Option(title)),
       graft.analysis.Scoring.gibberishPenalty(text),
       Analyzer.tokenize(text).length)).asNondeterministic()
-    chunks.toDF()
+    chunks
       .withColumn("__st", staticUdf(col("text"), col("meta.title")))
       .withColumn("pattern_b", col("__st._1"))
       .withColumn("meta_b", col("__st._2"))
@@ -232,13 +232,22 @@ object IndexBuilder {
     */
   def sigCol: org.apache.spark.sql.Column = xxhash64(col("text"), col("meta"))
 
+  /** The keep-first dedup key (MUST match ChunkerJob.dedup's hash): md5 of
+    * the Unicode-normalized text, NULL for rows dedup drops entirely.
+    */
+  def dedupHashCol: org.apache.spark.sql.Column = {
+    val norm = regexp_replace(lower(col("text")), "(?U)\\W+", "")
+    when(norm =!= "", md5(norm))
+  }
+
   /** Write the (chunkId, h) signature side table, ubucket-partitioned when
     * the chunk table is (same layout = same overwrite grain). ~16 B/chunk:
     * the incremental diff's read of OLD state.
     */
   private def writeChunkSigs(chunksDF: DataFrame, cfg: BuildConfig,
                              out: IndexPaths, dynamic: Boolean): Unit = {
-    val sigs = chunksDF.select(col("chunkId"), sigCol.as("h"), col("source"))
+    val sigs = chunksDF.select(col("chunkId"), sigCol.as("h"),
+      dedupHashCol.as("dhash"), col("source"))
     if (cfg.nUrlBuckets > 0) {
       val w = sigs
         .withColumn("ubucket",
@@ -349,7 +358,7 @@ object IndexBuilder {
       tPhase = now
     }
 
-    val chunksOut = withStaticCols(chunks)
+    val chunksOut = withStaticCols(chunks.toDF())
       // cache: the chunk-table write, the stats scan and the posting
       // exchange all consume these rows — the analyzer UDFs run once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -503,7 +512,7 @@ object IndexBuilder {
     *    `prev.configHash`/shard-record equality and fall back to the full
     *    build otherwise (ResumableBuild).
     */
-  def incrementalBuild(spark: SparkSession, chunks: Dataset[ChunkRow],
+  def incrementalBuild(spark: SparkSession, chunks: DataFrame,
                        out: IndexPaths, cfg: BuildConfig, prev: GlobalStats,
                        affectedShards: Seq[Int],
                        affectedUBuckets: Seq[Int] = Nil): GlobalStats = {
@@ -514,13 +523,22 @@ object IndexBuilder {
     val t0 = System.nanoTime()
     val nShards = prev.nDocShards
     val partialChunks = cfg.nUrlBuckets > 0 && affectedUBuckets.nonEmpty
+    // prefer a materialized `ubucket` column when the input carries one
+    // (the change-proportional assembly keeps the chunk table's PARTITION
+    // column so this filter prunes directories instead of scanning) —
+    // semantically identical to deriving it from the url hash
     val ubucketCol =
-      pmod(xxhash64(col("source")), lit(math.max(1, cfg.nUrlBuckets))).cast("int")
-    // static-bonus pass over ONLY the rows whose partitions get rewritten
+      if (chunks.columns.contains("ubucket")) col("ubucket")
+      else pmod(xxhash64(col("source")), lit(math.max(1, cfg.nUrlBuckets))).cast("int")
+    // static-bonus pass over ONLY the rows whose partitions get rewritten.
+    // Eager localCheckpoint (not persist): the change-proportional input
+    // derives from the chunk table this method overwrites, so the lineage
+    // must be truncated and fully materialized before any mutation —
+    // cache eviction + recompute would race the partition swap.
     val chunksOut = withStaticCols(
       if (partialChunks) chunks.filter(ubucketCol.isin(affectedUBuckets: _*))
       else chunks)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // same error-path contract as build(): a failed update must never
     // leave the detached chunk-table commit racing a caller's retry
     var pendingChunksWrite: Option[scala.concurrent.Future[Unit]] = None
@@ -550,6 +568,17 @@ object IndexBuilder {
       val totalTokens = newTok + oldTok
       val maxStaticBonus = math.max(newMax, oldMax)
       val avgdl = totalTokens.toDouble / nDocs
+
+      // EAGERLY materialize the exchange input BEFORE any on-disk
+      // mutation: the change-proportional caller assembles `chunks` from
+      // the chunk table itself, and a lazy scan of it would race the
+      // partition overwrite below (read-after-delete). chunksOut is
+      // likewise fully materialized by the aggs above.
+      val shardCol = pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int")
+      val affectedChunks = chunks.filter(shardCol.isin(affectedShards: _*))
+        .select(col("chunkId"), col("docId"), col("source"), col("page"),
+          col("chunkIdx"), col("text"), col("meta"))
+        .localCheckpoint(true)
 
       // The update's destructive window opens at the FIRST on-disk
       // mutation — the chunk-table overwrite below (a crash after it but
@@ -585,16 +614,12 @@ object IndexBuilder {
       }(scala.concurrent.ExecutionContext.global)
       pendingChunksWrite = Some(chunksWrite)
 
-      // rebuild ONLY the affected shards' blocks: filter on the shard hash
-      // of chunkId (cheap id-column predicate), re-run the same exchange +
-      // assembly over that slice, then swap the (bucket, shard) dirs
-      // (covered by the pending marker written above). The exchange input
-      // is the raw merged corpus — postings derive tf/dl from the text
-      // directly, no dependency on the (partial) static columns.
+      // rebuild ONLY the affected shards' blocks from the pre-materialized
+      // slice, then swap the (bucket, shard) dirs (covered by the pending
+      // marker written above). Postings derive tf/dl from the text
+      // directly — no dependency on the (partial) static columns.
       val metricsAcc = spark.sparkContext
         .collectionAccumulator[PartitionMetric]("block-build-incremental")
-      val shardCol = pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int")
-      val affectedChunks = chunks.filter(shardCol.isin(affectedShards: _*)).toDF()
       val newBlocks = assembleBlocks(spark, affectedChunks, cfg, nShards,
         avgdl, metricsAcc)
       val conf = spark.sparkContext.hadoopConfiguration

@@ -31,6 +31,18 @@ object ResumableBuild {
 
   def chunksRawDir(out: IndexPaths): String = s"${out.root}/chunks_raw"
 
+  /** Per-raw-chunk dedup-hash side table (bucket-partitioned like
+    * chunks_raw): (chunkId, dhash). dhash = the keep-first dedup key
+    * (md5 of the normalized text, NULL for empty-normalization rows that
+    * dedup drops). Written by the chunk phase for exactly the buckets it
+    * (re)chunks, so it always mirrors chunks_raw — the input that lets an
+    * incremental update re-decide dedup winners only for hash groups
+    * touching a changed bucket instead of re-shuffling the whole corpus.
+    */
+  def rawSigsDir(out: IndexPaths): String = s"${out.root}/chunks_raw_sigs"
+
+  private def dhashCol: org.apache.spark.sql.Column = IndexBuilder.dedupHashCol
+
   /** Chunk the given (not-yet-done) url-buckets in ONE pass: bucket filter →
     * chunk → dynamic-partition write, so the input is scanned once however
     * many buckets are pending (the per-bucket sequential loop re-read the
@@ -53,8 +65,17 @@ object ResumableBuild {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(chunksRawDir(out))
-    val counts = spark.read.parquet(chunksRawDir(out))
+    val written = spark.read.parquet(chunksRawDir(out))
       .filter(col("bucket").isin(buckets: _*))
+    // dedup-hash sigs for exactly the buckets just written (same dynamic
+    // partition grain) — read back the committed data, never re-chunk
+    written
+      .select(col("chunkId"), dhashCol.as("dhash"), col("bucket"))
+      .repartition(math.max(1, buckets.length), col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(rawSigsDir(out))
+    val counts = written
       .groupBy("bucket").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val wallMs = ((System.nanoTime() - t0) / 1000000).toString
@@ -211,15 +232,152 @@ object ResumableBuild {
       .filter(p => !interrupted && p.nDocShards > 0 &&
         p.configHash == effBuild.configHash &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(out.chunks)))
+    // change-proportional-dedup precondition, captured EAGERLY before the
+    // chunk phase overwrites the changed buckets: their OLD dedup hashes
+    // (the hash groups whose winners may need re-deciding)
+    val oldBucketHashes = prev.flatMap { _ =>
+      scala.util.Try {
+        spark.read.parquet(rawSigsDir(out))
+          .filter(col("bucket").isin(buckets: _*))
+          .filter(col("dhash").isNotNull)
+          .select("dhash").distinct()
+          .localCheckpoint(true)
+      }.toOption
+    }
     chunkBuckets(spark, pages, out, chunker, resume.nInputBuckets, buckets,
       Map("incremental" -> "true"))
     prev match {
       case None => indexPhase(spark, out, build, resume)
       case Some(p) =>
-        // the dedup shuffle feeds both the diff and (on the incremental
-        // path) the rebuild — cache it so it runs once per update
-        val merged = mergedChunks(spark, out, resume)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cheap = oldBucketHashes.flatMap(oh =>
+          changeProportionalUpdate(spark, out, build, resume, p, buckets, oh))
+        cheap match {
+          case Some(stats) => stats
+          case None => fullDiffUpdate(spark, out, build, resume, p)
+        }
+    }
+  }
+
+  /** Change-proportional update: re-decides dedup winners ONLY for hash
+    * groups touching a changed bucket (their membership is the only thing
+    * a bucket overwrite can alter), assembles the merged corpus as
+    * (previous kept rows outside those groups) ∪ (re-decided winners),
+    * and derives the changed rows exactly from (kept-replaced vs winners)
+    * — no full-corpus dedup shuffle, no full-corpus hashing, no old-text
+    * read. Inputs are the raw-sigs and chunk-sigs side tables; any
+    * missing precondition returns None and the caller falls back to the
+    * full-dedup diff path. Winner re-election is provably complete: a
+    * group with no member in a changed bucket has identical membership
+    * and therefore an identical keep-first winner.
+    */
+  private def changeProportionalUpdate(spark: SparkSession, out: IndexPaths,
+                                       build: BuildConfig, resume: ResumeConfig,
+                                       p: GlobalStats, changedBuckets: Seq[Int],
+                                       oldBucketHashes: DataFrame)
+      : Option[GlobalStats] = {
+    import spark.implicits._
+    val effBuild = withUrlBuckets(build, resume)
+    val nB = resume.nInputBuckets
+    val core = Seq("chunkId", "docId", "source", "page", "chunkIdx", "text", "meta")
+
+    // READ-ONLY planning under Try: a missing side table or transient read
+    // failure here falls back safely (nothing has been mutated yet). Once
+    // execution starts below, failures PROPAGATE — the pending marker set
+    // by incrementalBuild governs recovery, and silently falling back to
+    // the full-diff path against half-mutated state would be wrong.
+    val planTry = scala.util.Try {
+
+    // affected hash groups = groups with a member in a changed bucket,
+    // before (captured pre-overwrite) or after the re-chunk
+    val rawSigs = spark.read.parquet(rawSigsDir(out)) // (chunkId, dhash, bucket)
+    val newBucketHashes = rawSigs
+      .filter(col("bucket").isin(changedBuckets: _*))
+      .filter(col("dhash").isNotNull).select("dhash").distinct()
+    val affected = oldBucketHashes.union(newBucketHashes).distinct()
+      .localCheckpoint(true)
+
+    // candidate rows of the affected groups, fetched from ONLY the raw
+    // bucket dirs that contain one (sig semi-join first — narrow)
+    val candSigs = rawSigs.join(affected, Seq("dhash"), "left_semi")
+      .select(col("chunkId"), col("bucket")).localCheckpoint(true)
+    val candBuckets = candSigs.select("bucket").distinct().as[Int].collect().toSeq
+    val rawCand = spark.read.parquet(chunksRawDir(out))
+      .filter(col("bucket").isin(candBuckets: _*))
+      .join(candSigs.select("chunkId"), Seq("chunkId"), "left_semi")
+      .select(core.map(col): _*).as[ChunkRow]
+    val winners = ChunkerJob.dedup(rawCand).toDF()
+      .withColumn("ubucket", pmod(xxhash64(col("source")), lit(nB)).cast("int"))
+      .localCheckpoint(true)
+
+    // previous kept rows of those groups get replaced wholesale; the sig
+    // side table carries their (h, dhash, ubucket) without any text read
+    val keptSigs = spark.read.parquet(out.chunkSigs) // chunkId, h, dhash, ubucket
+    require(keptSigs.columns.contains("dhash"), "chunk_sigs predates dhash")
+    val replaced = keptSigs
+      .filter(col("dhash").isNotNull)
+      .join(affected, Seq("dhash"), "left_semi")
+      .select(col("chunkId"), col("h"), col("ubucket").cast("int").as("u"))
+      .localCheckpoint(true)
+
+    // exact changed set: symmetric diff of (chunkId, content-hash) between
+    // the replaced kept rows and the re-decided winners (identically
+    // re-elected winners cancel out) — winner hashing only, group-sized
+    val winnerSig = winners
+      .select(col("chunkId"), IndexBuilder.sigCol.as("h"),
+        col("ubucket").as("u"))
+    val pairs = winnerSig.except(replaced).union(replaced.except(winnerSig))
+      .select(pmod(xxhash64(col("chunkId")), lit(p.nDocShards)).cast("int").as("s"),
+        col("u"))
+      .distinct().as[(Int, Int)].collect().toSeq
+
+      // merged corpus (LAZY — built only if executed), carrying the chunk
+      // table's `ubucket` PARTITION column so incrementalBuild's
+      // affected-bucket filter prunes directories on the kept side
+      val keptSide = spark.read.parquet(out.chunks)
+        .select(core.map(col) :+ col("ubucket").cast("int").as("ubucket"): _*)
+        .join(replaced.select("chunkId"), Seq("chunkId"), "left_anti")
+      val merged = keptSide.unionByName(winners.select(
+        core.map(col) :+ col("ubucket"): _*))
+      (pairs, merged)
+    }
+
+    planTry match {
+      case scala.util.Failure(e) =>
+        System.err.println(
+          s"[incremental] change-proportional path declined (${e.getMessage}) — falling back")
+        None
+      case scala.util.Success((pairs, merged)) =>
+        val shards = pairs.map(_._1).distinct.sorted
+        val ubuckets = pairs.map(_._2).distinct.sorted
+        Some(
+          if (shards.isEmpty) p // nothing changed — index already current
+          else if (shards.length * 2 > p.nDocShards)
+            indexPhase(spark, out, build, resume)
+          else {
+            val stats = IndexBuilder.incrementalBuild(spark, merged, out,
+              effBuild, p, shards, ubuckets)
+            val manifest = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
+            TableIO.writeManifest(out.manifest,
+              manifest ++ Map("parent_snapshot" -> p.snapshotId,
+                "dedup_mode" -> "change-proportional"))
+            stats
+          })
+    }
+  }
+
+  /** FALLBACK incremental path: full dedup + sig-table diff — used when
+    * the raw-sigs side table is absent (older index) or the
+    * change-proportional assembly declined.
+    */
+  private def fullDiffUpdate(spark: SparkSession, out: IndexPaths,
+                             build: BuildConfig, resume: ResumeConfig,
+                             p: GlobalStats): GlobalStats = {
+    import spark.implicits._
+    val effBuild = withUrlBuckets(build, resume)
+    // the dedup shuffle feeds both the diff and (on the incremental
+    // path) the rebuild — cache it so it runs once per update
+    val merged = mergedChunks(spark, out, resume)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // changed chunks = symmetric diff of (chunkId, hash(text, meta))
           // between the indexed chunk table and the new merged corpus —
@@ -271,8 +429,8 @@ object ResumableBuild {
               else if (shards.length * 2 > p.nDocShards)
                 indexPhase(spark, out, build, resume)
               else {
-                val stats = IndexBuilder.incrementalBuild(spark, merged, out,
-                  effBuild, p, shards, ubuckets)
+                val stats = IndexBuilder.incrementalBuild(spark, merged.toDF(),
+                  out, effBuild, p, shards, ubuckets)
                 val manifest = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
                 TableIO.writeManifest(out.manifest,
                   manifest + ("parent_snapshot" -> p.snapshotId))
@@ -280,6 +438,5 @@ object ResumableBuild {
               }
           }
         } finally merged.unpersist()
-    }
   }
 }

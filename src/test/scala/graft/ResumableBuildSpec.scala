@@ -155,8 +155,11 @@ class ResumableBuildSpec extends AnyFunSuite {
     // the diff's old-state source: the 16 B/chunk signature side table,
     // mirroring the chunk table exactly (no old-text read at scale)
     val sigs = spark.read.parquet(out.chunkSigs)
-    assert(sigs.columns.toSet == Set("chunkId", "h", "ubucket"))
+    assert(sigs.columns.toSet == Set("chunkId", "h", "dhash", "ubucket"))
     assert(sigs.count() == spark.read.parquet(out.chunks).count())
+    // the re-crawl of one url must take the change-proportional dedup
+    // path (raw sigs present) — no full-corpus dedup shuffle
+    assert(manifest.get("dedup_mode").contains("change-proportional"))
     // chunk-table grain: only the changed url's ubucket partition rewritten
     val incU = manifest("incremental_ubuckets")
     assert(incU != "all" && incU.split(",").length < resume.nInputBuckets / 2,
