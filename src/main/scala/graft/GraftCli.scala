@@ -8,6 +8,8 @@ import graft.query.{Pipeline, PipelineConfig, SparkBackend, Wand}
 /** spark-submit entry for the engine itself:
   *
   *   graft.GraftCli build  <indexDir> [nPages] [seed]   — generate + index
+  *   graft.GraftCli update <indexDir> [nPages] [seed] [everyNth]
+  *                          — re-crawl simulation -> incremental update
   *   graft.GraftCli query  <indexDir> <query...>        — full fusion pipeline
   *   graft.GraftCli wand   <indexDir> <query...>        — block-max WAND top-k
   *   graft.GraftCli stats  <indexDir>                   — manifest + metrics
@@ -137,9 +139,47 @@ object GraftCli {
           BuildConfig(shufflePartitions =
             BuildConfig.shufflePartitionsFor(spark.sparkContext.defaultParallelism)),
           ChunkerConfig(), ResumableBuild.ResumeConfig())
+        ResumableBuild.writeUrlManifest(
+          WebPages.generate(spark, nPages, seed).toDF(), paths)
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[graft] indexed ${stats.nDocs} chunks from $nPages pages in $secs%.1fs " +
           f"(${stats.nDocs / secs}%.0f chunks/s); vocab=${stats.vocabSize} avgdl=${stats.avgdl}%.2f")
+      case "update" =>
+        // re-crawl simulation driving the change-proportional incremental
+        // path end-to-end:
+        //   update <indexDir> [nPages] [seed] [everyNth]
+        // regenerates the same corpus with every Nth url re-crawled (newer
+        // warc_ts + appended text), runs detectChanged against the url
+        // manifest `build` wrote, then incrementalUpdate.
+        val nPages = if (args.length > 2) args(2).toLong else 10000L
+        val seed = if (args.length > 3) args(3).toLong else 42L
+        val everyNth = if (args.length > 4) args(4).toLong else 1000L
+        val crawl = WebPages.generate(spark, nPages, seed).map { p =>
+          if (java.lang.Long.remainderUnsigned(
+              graft.index.IndexBuilder.stableId(p.url), everyNth) == 0)
+            p.copy(warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 86400000L),
+              text = p.text + " recrawled revision content")
+          else p
+        }
+        val manifest = spark.read.parquet(ResumableBuild.urlManifestPath(paths))
+        val (newU, changedU, removedU) =
+          ResumableBuild.detectChanged(spark, crawl.toDF(), manifest)
+        println(s"[graft] detected new=${newU.count()} changed=${changedU.count()} " +
+          s"removed=${removedU.count()}")
+        val t0 = System.nanoTime()
+        val stats = ResumableBuild.incrementalUpdate(spark,
+          crawl.map(p => PageDoc(p.url, 1, p.text, None)),
+          changedU.union(newU), paths,
+          BuildConfig(shufflePartitions =
+            BuildConfig.shufflePartitionsFor(spark.sparkContext.defaultParallelism)),
+          ChunkerConfig(), ResumableBuild.ResumeConfig())
+        ResumableBuild.writeUrlManifest(crawl.toDF(), paths)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val m = TableIO.readManifest(paths.manifest).getOrElse(Map.empty)
+        println(f"[graft] incremental update in $secs%.1fs — nDocs=${stats.nDocs} " +
+          s"dedup_mode=${m.getOrElse("dedup_mode", "full")} " +
+          s"shards=${m.getOrElse("incremental_shards", "-")} " +
+          s"ubuckets=${m.getOrElse("incremental_ubuckets", "-")}")
       case "query" =>
         val q = args.drop(2).mkString(" ")
         val backend = new SparkBackend(spark, paths)
