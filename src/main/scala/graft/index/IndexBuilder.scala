@@ -391,6 +391,13 @@ object IndexBuilder {
       writeChunksTable(chunksOut, cfg, out, dynamic = false)
     }(scala.concurrent.ExecutionContext.global)
     pendingWrites += chunksWrite
+    // the signature side table's dedup-hash pass (md5 over normalized
+    // text) is a real CPU cost at corpus scale — run it concurrently with
+    // the posting exchange like the other commits (same cache input)
+    val sigsWrite = scala.concurrent.Future {
+      writeChunkSigs(chunksOut, cfg, out, dynamic = false)
+    }(scala.concurrent.ExecutionContext.global)
+    pendingWrites += sigsWrite
 
     // N / avgdl from the denormalized doc-length column — a narrow
     // column-pruned scan, available before the posting exchange so block
@@ -429,7 +436,7 @@ object IndexBuilder {
     // ---- statistics (broadcast source) ----
     val (vocabSize, avgRawIdf, eps) = writeTermStats(blocks.toDF(), nDocs, out, cfg)
     phase("stats-agg")
-    writeChunkSigs(chunksOut, cfg, out, dynamic = false)
+    scala.concurrent.Await.result(sigsWrite, scala.concurrent.duration.Duration.Inf)
     scala.concurrent.Await.result(blocksWrite, scala.concurrent.duration.Duration.Inf)
     scala.concurrent.Await.result(chunksWrite, scala.concurrent.duration.Duration.Inf)
     blocks.unpersist()
