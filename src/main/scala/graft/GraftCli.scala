@@ -136,7 +136,7 @@ object GraftCli {
         // across reducers (cores-sized partitions leave stragglers — A/B'd
         // at local[4]/local[16]: 27.1->24.3s / 11.0->9.2s, BENCH.md r4)
         val stats = ResumableBuild.run(spark, pages, paths,
-          BuildConfig(shufflePartitions =
+          graft.config.GraftConfig.toBuildConfig(cfgTree).copy(shufflePartitions =
             BuildConfig.shufflePartitionsFor(spark.sparkContext.defaultParallelism)),
           ChunkerConfig(), ResumableBuild.ResumeConfig())
         ResumableBuild.writeUrlManifest(
@@ -170,7 +170,7 @@ object GraftCli {
         val stats = ResumableBuild.incrementalUpdate(spark,
           crawl.map(p => PageDoc(p.url, 1, p.text, None)),
           changedU.union(newU), paths,
-          BuildConfig(shufflePartitions =
+          graft.config.GraftConfig.toBuildConfig(cfgTree).copy(shufflePartitions =
             BuildConfig.shufflePartitionsFor(spark.sparkContext.defaultParallelism)),
           ChunkerConfig(), ResumableBuild.ResumeConfig())
         ResumableBuild.writeUrlManifest(crawl.toDF(), paths)

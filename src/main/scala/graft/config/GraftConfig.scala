@@ -261,7 +261,8 @@ object GraftConfig {
     "div-lambda" -> Seq("diversity", "per_doc_penalty"),
     "max-per-doc" -> Seq("diversity", "max_per_doc"),
     "semantic-topn" -> Seq("rerank", "semantic", "topn"),
-    "head-term-wand" -> Seq("bm25", "head_term_wand"))
+    "head-term-wand" -> Seq("bm25", "head_term_wand"),
+    "doc-shards" -> Seq("spark", "n_doc_shards"))
 
   private val InvertedFlags = Set("no-prox", "no-diversity")
   // "pretty" maps to no config path; listing it here only makes the parser
