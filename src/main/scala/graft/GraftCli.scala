@@ -169,7 +169,9 @@ object GraftCli {
         val t0 = System.nanoTime()
         val stats = ResumableBuild.incrementalUpdate(spark,
           crawl.map(p => PageDoc(p.url, 1, p.text, None)),
-          changedU.union(newU), paths,
+          // removed urls count as changed too: their bucket re-chunks from
+          // a crawl that lacks them, which evicts their chunks
+          changedU.union(newU).union(removedU), paths,
           graft.config.GraftConfig.toBuildConfig(cfgTree).copy(shufflePartitions =
             BuildConfig.shufflePartitionsFor(spark.sparkContext.defaultParallelism)),
           ChunkerConfig(), ResumableBuild.ResumeConfig())

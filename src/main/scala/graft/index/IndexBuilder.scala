@@ -549,11 +549,13 @@ object IndexBuilder {
     // same error-path contract as build(): a failed update must never
     // leave the detached chunk-table commit racing a caller's retry
     var pendingChunksWrite: Option[scala.concurrent.Future[Unit]] = None
-    def drainPending(): Unit = pendingChunksWrite.foreach { f =>
-      try scala.concurrent.Await.ready(f,
-        scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES))
-      catch { case _: Throwable => () }
-    }
+    var pendingSigsWrite: Option[scala.concurrent.Future[Unit]] = None
+    def drainPending(): Unit =
+      (pendingChunksWrite.toSeq ++ pendingSigsWrite.toSeq).foreach { f =>
+        try scala.concurrent.Await.ready(f,
+          scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES))
+        catch { case _: Throwable => () }
+      }
     try {
       def agg3(df: DataFrame): (Long, Long, Double) = {
         val r = df.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)),
@@ -619,7 +621,14 @@ object IndexBuilder {
       val chunksWrite = scala.concurrent.Future {
         writeChunksTable(chunksOut.toDF(), cfg, out, dynamic = partialChunks)
       }(scala.concurrent.ExecutionContext.global)
+      // the sig table's dedup-hash pass overlaps the shard rebuild like the
+      // chunk commit does (chunksOut is eagerly checkpointed — no lineage
+      // race with the partition deletes above)
+      val sigsWrite = scala.concurrent.Future {
+        writeChunkSigs(chunksOut.toDF(), cfg, out, dynamic = partialChunks)
+      }(scala.concurrent.ExecutionContext.global)
       pendingChunksWrite = Some(chunksWrite)
+      pendingSigsWrite = Some(sigsWrite)
 
       // rebuild ONLY the affected shards' blocks from the pre-materialized
       // slice, then swap the (bucket, shard) dirs (covered by the pending
@@ -641,7 +650,8 @@ object IndexBuilder {
       // stats refresh from the FULL (updated) block-grain table
       val (vocabSize, avgRawIdf, eps) =
         writeTermStats(spark.read.parquet(out.blocks), nDocs, out, cfg)
-      writeChunkSigs(chunksOut.toDF(), cfg, out, dynamic = partialChunks)
+      scala.concurrent.Await.result(sigsWrite,
+        scala.concurrent.duration.Duration.Inf)
       scala.concurrent.Await.result(chunksWrite,
         scala.concurrent.duration.Duration.Inf)
 

@@ -60,30 +60,46 @@ object ResumableBuild {
     val t0 = System.nanoTime()
     val bucketCol = pmod(xxhash64(col("url")), lit(nBuckets)).cast("int")
     val pending = pages.filter(bucketCol.isin(buckets: _*))
-    ChunkerJob.chunk(pending, chunker)
+    val newChunks = ChunkerJob.chunk(pending, chunker)
       .withColumn("bucket", pmod(xxhash64(col("source")), lit(nBuckets)).cast("int"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(chunksRawDir(out))
-    val written = spark.read.parquet(chunksRawDir(out))
-      .filter(col("bucket").isin(buckets: _*))
-    // dedup-hash sigs for exactly the buckets just written (same dynamic
-    // partition grain) — read back the committed data, never re-chunk
-    written
-      .select(col("chunkId"), dhashCol.as("dhash"), col("bucket"))
-      .repartition(math.max(1, buckets.length), col("bucket"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(rawSigsDir(out))
-    val counts = written
-      .groupBy("bucket").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val wallMs = ((System.nanoTime() - t0) / 1000000).toString
-    for (b <- buckets.sorted) {
-      TableIO.appendCheckpoint(out.checkpoints, Map(
-        "bucket" -> b.toString, "rows" -> counts.getOrElse(b, 0L).toString,
-        "config_hash" -> cfgHash, "wall_ms" -> wallMs) ++ extraCheckpointFields)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // counts of the NEW data (not a read-back: a bucket whose re-chunk
+      // yielded zero rows writes nothing under dynamic overwrite, and a
+      // read-back would count the surviving STALE partition instead)
+      val counts = newChunks.groupBy("bucket").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      newChunks.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(chunksRawDir(out))
+      // dedup-hash sigs for exactly the buckets just written (same dynamic
+      // partition grain, same cached data)
+      newChunks
+        .select(col("chunkId"), dhashCol.as("dhash"), col("bucket"))
+        .repartition(math.max(1, buckets.length), col("bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(rawSigsDir(out))
+      // a re-chunked bucket that came back EMPTY (url gone, or the
+      // re-crawl failed the quality gate) must not keep serving its stale
+      // partition — dynamic overwrite wrote nothing for it, so delete
+      // explicitly (post-commit: the new data is durable first; a crash
+      // here re-runs these buckets)
+      val conf = spark.sparkContext.hadoopConfiguration
+      for (b <- buckets if counts.getOrElse(b, 0L) == 0L;
+           root <- Seq(chunksRawDir(out), rawSigsDir(out))) {
+        val dir = new org.apache.hadoop.fs.Path(s"$root/bucket=$b")
+        val fs = dir.getFileSystem(conf)
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
+      val wallMs = ((System.nanoTime() - t0) / 1000000).toString
+      for (b <- buckets.sorted) {
+        TableIO.appendCheckpoint(out.checkpoints, Map(
+          "bucket" -> b.toString, "rows" -> counts.getOrElse(b, 0L).toString,
+          "config_hash" -> cfgHash, "n_buckets" -> nBuckets.toString,
+          "wall_ms" -> wallMs) ++ extraCheckpointFields)
+      }
+    } finally newChunks.unpersist()
   }
 
   /** Phase 1: chunk pending url-buckets (checkpointed ones are skipped).
@@ -93,10 +109,22 @@ object ResumableBuild {
                  chunker: ChunkerConfig, resume: ResumeConfig): Seq[Int] = {
     val cfgHash = chunkerHash(chunker)
     val existing = TableIO.readCheckpoints(out.checkpoints)
-    val valid = existing.filter(_.get("config_hash").contains(cfgHash))
+    // the bucket COUNT is part of the layout contract: checkpoints from a
+    // different nInputBuckets address a different modulus, and mixing the
+    // two dir layouts in chunks_raw would merge duplicate chunkIds
+    val valid = existing.filter(m => m.get("config_hash").contains(cfgHash) &&
+      m.get("n_buckets").contains(resume.nInputBuckets.toString))
     if (valid.size != existing.size && existing.nonEmpty) {
-      // chunking config changed -> full invalidation
+      // chunking config or bucket layout changed -> full invalidation,
+      // INCLUDING the raw trees (stale other-modulus partitions must not
+      // survive into the merge)
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(out.checkpoints))
+      val conf = spark.sparkContext.hadoopConfiguration
+      for (root <- Seq(chunksRawDir(out), rawSigsDir(out))) {
+        val dir = new org.apache.hadoop.fs.Path(root)
+        val fs = dir.getFileSystem(conf)
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
     }
     val done = (if (valid.size == existing.size) valid else Nil)
       .flatMap(_.get("bucket")).map(_.toInt).toSet
@@ -215,6 +243,14 @@ object ResumableBuild {
                         build: BuildConfig, chunker: ChunkerConfig,
                         resume: ResumeConfig): GlobalStats = {
     import spark.implicits._
+    // bucket-count layout guard: checkpoints written under a different
+    // nInputBuckets address a different url-hash modulus — proceeding
+    // would mix two dir layouts in chunks_raw (duplicate chunkIds in the
+    // merge). chunkPhase owns the invalidation; run the full pipeline.
+    val cps = TableIO.readCheckpoints(out.checkpoints)
+    if (cps.nonEmpty && !cps.forall(
+        _.get("n_buckets").contains(resume.nInputBuckets.toString)))
+      return run(spark, pages, out, build, chunker, resume)
     val urlCol = // hash-path frames carry `source`, ts-path frames carry `url`
       if (changedUrls.columns.contains("url")) col("url") else col("source")
     val buckets = changedUrls
@@ -225,28 +261,54 @@ object ResumableBuild {
     // (crashed full build between its table commits) marker means the
     // on-disk tables may be mutually inconsistent — the only safe base
     // is a full rebuild
-    val interrupted = TableIO.readManifest(out.manifest)
-      .exists(m => m.contains("pending_incremental") || m.contains("pending_build"))
+    val manifest0 = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
+    val interrupted =
+      manifest0.contains("pending_incremental") || manifest0.contains("pending_build")
+    // `pending_update` means a PREVIOUS update crashed after its chunk
+    // phase: chunks_raw/raw_sigs already hold post-overwrite state, so the
+    // pre-overwrite snapshot the change-proportional path needs is gone —
+    // the FULL-DIFF path (which recomputes from durable current state and
+    // is restart-safe) must serve this retry. Blocks are NOT suspect.
+    val updateInterrupted = manifest0.contains("pending_update")
     val effBuild = withUrlBuckets(build, resume)
     val prev = scala.util.Try(IndexBuilder.loadStats(spark, out)).toOption
       .filter(p => !interrupted && p.nDocShards > 0 &&
         p.configHash == effBuild.configHash &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(out.chunks)))
-    // change-proportional-dedup precondition, captured EAGERLY before the
+    // change-proportional-dedup preconditions, captured EAGERLY before the
     // chunk phase overwrites the changed buckets: their OLD dedup hashes
-    // (the hash groups whose winners may need re-deciding)
-    val oldBucketHashes = prev.flatMap { _ =>
-      scala.util.Try {
-        spark.read.parquet(rawSigsDir(out))
-          .filter(col("bucket").isin(buckets: _*))
-          .filter(col("dhash").isNotNull)
-          .select("dhash").distinct()
-          .localCheckpoint(true)
-      }.toOption
-    }
+    // (the hash groups whose winners may need re-deciding), and PROOF that
+    // the raw-sigs table covers every raw bucket (an index upgraded from a
+    // pre-sig build has sigs only for re-crawled buckets — silently
+    // incomplete coverage would mis-derive the affected groups)
+    val oldBucketHashes =
+      if (updateInterrupted) None
+      else prev.flatMap { _ =>
+        scala.util.Try {
+          val conf = spark.sparkContext.hadoopConfiguration
+          def bucketDirs(root: String): Set[String] = {
+            val dir = new org.apache.hadoop.fs.Path(root)
+            val fs = dir.getFileSystem(conf)
+            if (!fs.exists(dir)) Set.empty[String]
+            else fs.listStatus(dir).filter(_.isDirectory)
+              .map(_.getPath.getName).filter(_.startsWith("bucket=")).toSet
+          }
+          val rawB = bucketDirs(chunksRawDir(out))
+          val sigB = bucketDirs(rawSigsDir(out))
+          require(rawB.nonEmpty && rawB.subsetOf(sigB),
+            s"raw-sigs coverage incomplete: ${(rawB -- sigB).mkString(",")}")
+          spark.read.parquet(rawSigsDir(out))
+            .filter(col("bucket").isin(buckets: _*))
+            .filter(col("dhash").isNotNull)
+            .select("dhash").distinct()
+            .localCheckpoint(true)
+        }.toOption
+      }
+    // the chunk phase's overwrite opens the window the marker describes
+    TableIO.writeManifest(out.manifest, manifest0 + ("pending_update" -> "1"))
     chunkBuckets(spark, pages, out, chunker, resume.nInputBuckets, buckets,
       Map("incremental" -> "true"))
-    prev match {
+    val result = prev match {
       case None => indexPhase(spark, out, build, resume)
       case Some(p) =>
         val cheap = oldBucketHashes.flatMap(oh =>
@@ -256,6 +318,10 @@ object ResumableBuild {
           case None => fullDiffUpdate(spark, out, build, resume, p)
         }
     }
+    // every branch completed against durable state — close the window
+    TableIO.writeManifest(out.manifest,
+      TableIO.readManifest(out.manifest).getOrElse(Map.empty) - "pending_update")
+    result
   }
 
   /** Change-proportional update: re-decides dedup winners ONLY for hash

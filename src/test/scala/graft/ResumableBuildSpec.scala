@@ -278,6 +278,55 @@ class ResumableBuildSpec extends AnyFunSuite {
       "pending_build must also force the full-rebuild path")
   }
 
+  test("incremental update evicts removed urls, including a fully-emptied bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evict").toString
+    val out = IndexPaths(dir)
+    ResumableBuild.run(spark, pagesA, out, build, chunker, resume)
+    // remove EVERY url of one bucket: its re-chunk yields zero rows, and
+    // dynamic overwrite alone would leave the stale partition serving
+    val allUrls = pagesA.select("url").as[String].collect()
+    val b0 = IndexBuilder.termBucket(allUrls.head, resume.nInputBuckets)
+    val removedSet = allUrls.filter(u =>
+      IndexBuilder.termBucket(u, resume.nInputBuckets) == b0).toSet
+    assert(removedSet.nonEmpty && removedSet.size < allUrls.length)
+    val pagesB = pagesA.filter(p => !removedSet.contains(p.url))
+    val stats = ResumableBuild.incrementalUpdate(spark, pagesB,
+      removedSet.toSeq.toDF("url"), out, build, chunker, resume)
+    assert(spark.read.parquet(out.chunks)
+      .filter(col("source").isin(removedSet.toSeq: _*)).count() == 0,
+      "removed urls still served")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${ResumableBuild.chunksRawDir(out)}/bucket=$b0")),
+      "emptied raw bucket dir must be deleted (stale under dynamic overwrite)")
+    val direct = IndexBuilder.build(spark, ChunkerJob.chunk(pagesB, chunker),
+      IndexPaths(java.nio.file.Files.createTempDirectory("graft-evict-d").toString),
+      build)
+    assert(stats.nDocs == direct.nDocs)
+    assert(!TableIO.readManifest(out.manifest).get.contains("pending_update"))
+  }
+
+  test("a crashed update (pending_update marker) retries via the restart-safe full-diff path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pupd").toString
+    val out = IndexPaths(dir)
+    ResumableBuild.run(spark, pagesA, out, build, chunker, resume)
+    // simulate: previous update crashed after its chunk phase — the
+    // pre-overwrite raw sigs are gone, so change-proportional must not run
+    TableIO.writeManifest(out.manifest,
+      TableIO.readManifest(out.manifest).get + ("pending_update" -> "1"))
+    val targetUrl = pagesA.select("url").as[String].orderBy("url").head()
+    val pagesB = pagesA.map(p =>
+      if (p.url == targetUrl) p.copy(text = p.text + " retry sentinel words") else p)
+    val stats = ResumableBuild.incrementalUpdate(spark, pagesB,
+      Seq(targetUrl).toDF("url"), out, build, chunker, resume)
+    val m = TableIO.readManifest(out.manifest).get
+    assert(!m.contains("pending_update"), "marker must clear on completion")
+    assert(!m.contains("dedup_mode"),
+      "interrupted retry must use the full-diff path, not change-proportional")
+    assert(stats.nDocs > 0)
+    assert(spark.read.parquet(out.chunks)
+      .filter(col("text").contains("retry sentinel")).count() > 0)
+  }
+
   test("incremental update reprocesses only changed urls' buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
     val out = IndexPaths(dir)
