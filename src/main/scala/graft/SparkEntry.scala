@@ -65,10 +65,11 @@ object SparkEntry {
     eps AS (SELECT 0.25 * avg(idf) AS eps FROM rawidf),
     idf AS (SELECT term, df, CASE WHEN idf < 0 THEN (SELECT eps FROM eps) ELSE idf END AS idf FROM rawidf)"""
 
-  private def bm25ScoreSql(dialect: String): String = {
+  private def bm25ScoreSql(dialect: String,
+                           terms: Seq[String] = QTerms): String = {
     val ctes = if (dialect == "spark") bm25CtesSpark else bm25CtesDuck
     s"""WITH $ctes,
-    q(term) AS (VALUES $qValuesSql),
+    q(term) AS (VALUES ${terms.map(t => s"('$t')").mkString(", ")}),
     scores AS (
       SELECT tf.doc_id,
              sum(idf.idf * tf.tf * ($K1 + 1) /
@@ -148,6 +149,10 @@ object SparkEntry {
 
   /** Exposed for SparkEntryExtra's WAND-vs-SQL oracle. */
   private[graft] def bm25OracleScoreSql: String = bm25ScoreSql("duck")
+
+  /** Same, for an arbitrary term list (the head-term WAND oracle). */
+  private[graft] def bm25OracleScoreSqlFor(terms: Seq[String]): String =
+    bm25ScoreSql("duck", terms)
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- analyzer / aggregation family (SURVEY §2.2, §2.3) ---

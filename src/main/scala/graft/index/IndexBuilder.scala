@@ -30,6 +30,14 @@ case class GlobalStats(nDocs: Long, totalTokens: Long, avgdl: Double,
                          * with — the incremental path must reuse it (the
                          * shard hash function addresses existing dirs) */
                        nDocShards: Int,
+                       /** resolved chunk-bucket count the chunk table was
+                         * written with (0 = table not cbucket-partitioned).
+                         * Always a multiple of nDocShards, so `shard =
+                         * cbucket % nDocShards`: the incremental exchange
+                         * slice and the query-time candidate fetch both
+                         * prune cbucket DIRECTORIES instead of scanning
+                         * corpus-proportional rows. */
+                       nChunkBuckets: Int,
                        /** minimum avgdl any LIVE block was built with. An
                          * incremental update re-fits avgdl but leaves
                          * unchanged shards' blocks (and their maxTfNorm,
@@ -54,11 +62,16 @@ case class BuildConfig(
       */
     nDocShards: Int = 0,
     blockSize: Int = Codec.DefaultBlockSize,
-    /** chunk-table hash partitions on chunkId (0 = off). With buckets the
-      * bounded pool's candidate fetch prunes to the candidates' partitions
-      * instead of scanning the corpus — required at 10^12 chunks, where
-      * even a cached full scan per query is a scale-killer. Costs one
-      * extra clustering shuffle of the chunk table at build time.
+    /** chunk-table hash partitions on chunkId (0 = auto: one per resolved
+      * doc shard). With buckets the bounded pool's candidate fetch prunes
+      * to the candidates' partitions instead of scanning the corpus —
+      * required at 10^12 chunks, where even a cached full scan per query
+      * is a scale-killer — and, because the count is validated as a
+      * MULTIPLE of the doc-shard count (`shard = cbucket % nShards`), the
+      * incremental exchange slice fetches the affected shards' chunks by
+      * cbucket partition pruning instead of a corpus-proportional text
+      * scan. Costs one extra clustering shuffle of the chunk table at
+      * build time.
       */
     nChunkBuckets: Int = 0,
     /** chunk-table url-hash partitions (0 = off). With them the
@@ -74,11 +87,26 @@ case class BuildConfig(
     nUrlBuckets: Int = 0,
     shufflePartitions: Int = 32) {
   def configHash: String =
-    Analyzer.md5Hex(s"$k1|$b|$epsilon|$nTermBuckets|$nDocShards|$blockSize|$nUrlBuckets")
+    Analyzer.md5Hex(
+      s"$k1|$b|$epsilon|$nTermBuckets|$nDocShards|$blockSize|$nUrlBuckets|$nChunkBuckets")
 
   def resolveDocShards(nDocs: Long): Int =
     if (nDocShards > 0) nDocShards
     else math.min(4096L, math.max(4L, nDocs / 250000L + 1L)).toInt
+
+  /** Resolved chunk-bucket count: defaults to the doc-shard grain and is
+    * VALIDATED as a multiple of it — the alignment that makes
+    * `shard = cbucket % nShards` hold, so the incremental exchange slice
+    * prunes cbucket directories instead of scanning the corpus.
+    */
+  def resolveChunkBuckets(nShards: Int): Int =
+    if (nChunkBuckets <= 0) nShards
+    else {
+      require(nChunkBuckets % nShards == 0,
+        s"nChunkBuckets=$nChunkBuckets must be a multiple of the resolved " +
+          s"doc-shard count $nShards (shard must be derivable from cbucket)")
+      nChunkBuckets
+    }
 }
 
 object BuildConfig {
@@ -102,6 +130,12 @@ case class IndexPaths(root: String) {
     */
   def chunkSigs = s"$root/chunk_sigs"
   def blocks = s"$root/blocks"
+  /** (shard, avgdl) lineage: the avgdl each LIVE shard's blocks were last
+    * built under. minBlockAvgdl is re-derived as the min over this table
+    * after every update, so WAND's bound scale RECOVERS once stale shards
+    * are rewritten instead of ratcheting down forever.
+    */
+  def shardStats = s"$root/shard_stats"
   def termStats = s"$root/term_stats"
   def globalStats = s"$root/global_stats"
   def metrics = s"$root/metrics"
@@ -131,6 +165,12 @@ case class PartitionMetric(phase: String, partitionId: Int, rows: Long,
   *    chunk table's denormalized `dl`.
   */
 object IndexBuilder {
+
+  /** Test probe: the (pre-materialization) exchange-slice frame of the
+    * last incrementalBuild — specs assert its chunk-table scan prunes to
+    * the affected cbucket directories (the 100 TB update contract).
+    */
+  @volatile private[graft] var lastExchangeSliceDF: DataFrame = _
 
   /** Stable 64-bit id from the md5 of a key (portable, seedless). */
   def stableId(key: String): Long = {
@@ -201,7 +241,7 @@ object IndexBuilder {
     * tasks × dirs parquet writers). `dynamic` = overwrite only the
     * partitions present in the frame (the incremental contract).
     */
-  private def writeChunksTable(chunksDF: DataFrame, cfg: BuildConfig,
+  private def writeChunksTable(chunksDF: DataFrame, cfg: BuildConfig, nCb: Int,
                                out: IndexPaths, dynamic: Boolean): Unit = {
     var df = chunksDF
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -210,14 +250,14 @@ object IndexBuilder {
         pmod(xxhash64(col("source")), lit(cfg.nUrlBuckets)).cast("int"))
       parts += "ubucket"
     }
-    if (cfg.nChunkBuckets > 0) {
+    if (nCb > 0) {
       df = df.withColumn("cbucket",
-        pmod(xxhash64(col("chunkId")), lit(cfg.nChunkBuckets)).cast("int"))
+        pmod(xxhash64(col("chunkId")), lit(nCb)).cast("int"))
       parts += "cbucket"
     }
     if (parts.isEmpty) df.write.mode(SaveMode.Overwrite).parquet(out.chunks)
     else {
-      val nParts = math.max(cfg.nUrlBuckets, 1) * math.max(cfg.nChunkBuckets, 1)
+      val nParts = math.max(cfg.nUrlBuckets, 1) * math.max(nCb, 1)
       val w = df.repartition(nParts, parts.toSeq.map(col): _*)
         .write.mode(SaveMode.Overwrite)
       (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
@@ -382,13 +422,29 @@ object IndexBuilder {
         ("pending_build" -> "1"))
     try {
 
+    // N / avgdl from the denormalized doc-length column — a narrow
+    // column-pruned scan (this first pass also fills the cache), available
+    // before the posting exchange so block maxima can be finalized in the
+    // same pass — and before the chunk-table commit so the cbucket layout
+    // can be resolved against the corpus-derived shard count.
+    val lenRow = chunksOut
+      .agg(count(lit(1)), sum("dl"), max(col("pattern_b") + col("meta_b"))).head()
+    val nDocs = lenRow.getLong(0)
+    require(nDocs > 0, "empty corpus")
+    val totalTokens = lenRow.getLong(1)
+    val maxStaticBonus = lenRow.getDouble(2)
+    val avgdl = totalTokens.toDouble / nDocs
+    val nShards = cfg.resolveDocShards(nDocs)
+    val nCb = cfg.resolveChunkBuckets(nShards)
+    phase("chunk-stats")
+
     // the chunk-table parquet commit runs CONCURRENTLY with everything
-    // downstream (stats scan + posting exchange read the cache, not the
-    // file): on one box this hides the commit I/O behind the exchange
-    // compute; on a cluster the jobs just share executors. Awaited before
-    // returning — callers read out.chunks after build().
+    // downstream (the posting exchange reads the cache, not the file): on
+    // one box this hides the commit I/O behind the exchange compute; on a
+    // cluster the jobs just share executors. Awaited before returning —
+    // callers read out.chunks after build().
     val chunksWrite = scala.concurrent.Future {
-      writeChunksTable(chunksOut, cfg, out, dynamic = false)
+      writeChunksTable(chunksOut, cfg, nCb, out, dynamic = false)
     }(scala.concurrent.ExecutionContext.global)
     pendingWrites += chunksWrite
     // the signature side table's dedup-hash pass (md5 over normalized
@@ -399,22 +455,9 @@ object IndexBuilder {
     }(scala.concurrent.ExecutionContext.global)
     pendingWrites += sigsWrite
 
-    // N / avgdl from the denormalized doc-length column — a narrow
-    // column-pruned scan, available before the posting exchange so block
-    // maxima can be finalized in the same pass.
-    val lenRow = chunksOut
-      .agg(count(lit(1)), sum("dl"), max(col("pattern_b") + col("meta_b"))).head()
-    val nDocs = lenRow.getLong(0)
-    require(nDocs > 0, "empty corpus")
-    val totalTokens = lenRow.getLong(1)
-    val maxStaticBonus = lenRow.getDouble(2)
-    val avgdl = totalTokens.toDouble / nDocs
-    phase("chunk-stats")
-
     // ---- compressed block build: the single posting-grain exchange ----
     val metricsAcc: CollectionAccumulator[PartitionMetric] =
       spark.sparkContext.collectionAccumulator[PartitionMetric]("block-build")
-    val nShards = cfg.resolveDocShards(nDocs)
     val blocks = assembleBlocks(spark, chunksOut, cfg, nShards, avgdl, metricsAcc)
     // persist so both consumers read the in-memory block rows; the blocks
     // parquet commit and the stats pipeline then run as CONCURRENT jobs
@@ -447,12 +490,18 @@ object IndexBuilder {
     val metrics = metricsAcc.value
     import scala.jdk.CollectionConverters._
     spark.createDataset(metrics.asScala.toSeq)
+      .withColumn("mode", lit("full"))
       .withColumn("docs_per_sec", lit(nDocs.toDouble * 1000 / math.max(1, wallMs)))
       .write.mode(SaveMode.Overwrite).parquet(out.metrics)
+    // per-shard avgdl lineage: a full build stamps every shard with the
+    // build avgdl (see IndexPaths.shardStats)
+    spark.createDataset((0 until nShards).map(s => (s, avgdl)))
+      .toDF("shard", "avgdl")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(out.shardStats)
 
     val snapshotId = Analyzer.md5Hex(s"$nDocs|$totalTokens|${cfg.configHash}")
     val stats = GlobalStats(nDocs, totalTokens, avgdl, vocabSize, avgRawIdf, eps,
-      maxStaticBonus, cfg.k1, cfg.b, cfg.nTermBuckets, nShards, avgdl,
+      maxStaticBonus, cfg.k1, cfg.b, cfg.nTermBuckets, nShards, nCb, avgdl,
       cfg.configHash, snapshotId)
     Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(out.globalStats)
     TableIO.writeManifest(out.manifest, Map(
@@ -485,6 +534,8 @@ object IndexBuilder {
     var df = spark.read.parquet(out.globalStats)
     if (!df.columns.contains("nDocShards"))
       df = df.withColumn("nDocShards", lit(0))
+    if (!df.columns.contains("nChunkBuckets"))
+      df = df.withColumn("nChunkBuckets", lit(0))
     if (!df.columns.contains("minBlockAvgdl"))
       df = df.withColumn("minBlockAvgdl", lit(0.0))
     df.as[GlobalStats].head()
@@ -583,8 +634,32 @@ object IndexBuilder {
       // the chunk table itself, and a lazy scan of it would race the
       // partition overwrite below (read-after-delete). chunksOut is
       // likewise fully materialized by the aggs above.
-      val shardCol = pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int")
-      val affectedChunks = chunks.filter(shardCol.isin(affectedShards: _*))
+      // The slice itself: when the input carries the chunk table's
+      // `cbucket` PARTITION column (the change-proportional assembly
+      // preserves it), `shard = cbucket % nShards` — the alignment
+      // validated by resolveChunkBuckets — so the affected-shard fetch is
+      // an isin on the partition column and the scan prunes to the
+      // affected cbucket DIRECTORIES. Without the column (full-diff
+      // fallback, whose input already paid a full dedup shuffle) the
+      // shard is derived by hashing chunkId — a row filter, not pruning.
+      // The bucket count is the one the existing table was WRITTEN with
+      // (0 = pre-cbucket index: keep the ubucket-only layout; mixing
+      // layouts under dynamic overwrite would corrupt the table).
+      val nCb = prev.nChunkBuckets
+      require(nCb == 0 || cfg.resolveChunkBuckets(nShards) == nCb,
+        s"chunk-bucket layout drift: table has $nCb, config resolves " +
+          s"${cfg.resolveChunkBuckets(nShards)}")
+      val shardSet = affectedShards.toSet
+      val sliced =
+        if (chunks.columns.contains("cbucket")) {
+          val affectedCb = (0 until nCb).filter(c => shardSet(c % nShards))
+          chunks.filter(col("cbucket").isin(affectedCb: _*))
+        } else {
+          val shardCol = pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int")
+          chunks.filter(shardCol.isin(affectedShards: _*))
+        }
+      lastExchangeSliceDF = sliced // test probe: scans must show pruning
+      val affectedChunks = sliced
         .select(col("chunkId"), col("docId"), col("source"), col("page"),
           col("chunkIdx"), col("text"), col("meta"))
         .localCheckpoint(true)
@@ -619,7 +694,7 @@ object IndexBuilder {
         }
       }
       val chunksWrite = scala.concurrent.Future {
-        writeChunksTable(chunksOut.toDF(), cfg, out, dynamic = partialChunks)
+        writeChunksTable(chunksOut.toDF(), cfg, nCb, out, dynamic = partialChunks)
       }(scala.concurrent.ExecutionContext.global)
       // the sig table's dedup-hash pass overlaps the shard rebuild like the
       // chunk commit does (chunksOut is eagerly checkpointed — no lineage
@@ -657,15 +732,38 @@ object IndexBuilder {
 
       val wallMs = (System.nanoTime() - t0) / 1000000
       import scala.jdk.CollectionConverters._
+      // metrics: APPENDED with mode=incremental, throughput denominated in
+      // the chunks this update actually re-indexed — never full-corpus
+      // docs over an incremental wall time
+      val affectedN = affectedChunks.count()
       spark.createDataset(metricsAcc.value.asScala.toSeq)
-        .withColumn("docs_per_sec", lit(nDocs.toDouble * 1000 / math.max(1, wallMs)))
-        .write.mode(SaveMode.Overwrite).parquet(out.metrics)
+        .withColumn("mode", lit("incremental"))
+        .withColumn("docs_per_sec",
+          lit(affectedN.toDouble * 1000 / math.max(1, wallMs)))
+        .write.mode(SaveMode.Append).parquet(out.metrics)
 
       val snapshotId = Analyzer.md5Hex(s"$nDocs|$totalTokens|${cfg.configHash}")
-      val minBlockAvgdl =
-        math.min(if (prev.minBlockAvgdl > 0) prev.minBlockAvgdl else prev.avgdl, avgdl)
+      // per-shard avgdl lineage: stamp the rebuilt shards with the new
+      // avgdl, keep the untouched shards' record, and re-derive
+      // minBlockAvgdl as the min over LIVE shards — so WAND's bound scale
+      // recovers once stale shards get rewritten, instead of ratcheting
+      // down forever. Missing side table (pre-r5 index): conservative
+      // ratchet, still valid.
+      val minBlockAvgdl = scala.util.Try {
+        val prevShardAvgdl = spark.read.parquet(out.shardStats)
+          .select("shard", "avgdl").as[(Int, Double)].collect().toMap
+        require(prevShardAvgdl.keySet == (0 until nShards).toSet,
+          "shard_stats does not cover every shard")
+        val updated = (0 until nShards).map(s =>
+          (s, if (shardSet(s)) avgdl else prevShardAvgdl(s)))
+        spark.createDataset(updated).toDF("shard", "avgdl")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(out.shardStats)
+        updated.iterator.map(_._2).min
+      }.getOrElse(
+        math.min(if (prev.minBlockAvgdl > 0) prev.minBlockAvgdl else prev.avgdl,
+          avgdl))
       val stats = GlobalStats(nDocs, totalTokens, avgdl, vocabSize, avgRawIdf,
-        eps, maxStaticBonus, cfg.k1, cfg.b, cfg.nTermBuckets, nShards,
+        eps, maxStaticBonus, cfg.k1, cfg.b, cfg.nTermBuckets, nShards, nCb,
         minBlockAvgdl, cfg.configHash, snapshotId)
       Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(out.globalStats)
       TableIO.writeManifest(out.manifest, Map(

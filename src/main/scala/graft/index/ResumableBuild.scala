@@ -217,6 +217,16 @@ object ResumableBuild {
       .select(col("c.source"))
   }
 
+  /** Existence check through the Hadoop FileSystem API — java.nio answers
+    * false for every hdfs:// or s3a:// path, which would silently degrade
+    * the incremental path to a full rebuild on exactly the cluster
+    * deployments the 10^12-chunk design targets.
+    */
+  private def fsExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** The merged, deduped chunk corpus from the on-disk url-bucket dirs. */
   private def mergedChunks(spark: SparkSession, out: IndexPaths,
                            resume: ResumeConfig): Dataset[ChunkRow] = {
@@ -224,7 +234,7 @@ object ResumableBuild {
     ChunkerJob.dedup(
       spark.read.parquet((0 until resume.nInputBuckets)
         .map(b => s"${chunksRawDir(out)}/bucket=$b")
-        .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))): _*)
+        .filter(p => fsExists(spark, p)): _*)
         .as[ChunkRow])
   }
 
@@ -273,8 +283,7 @@ object ResumableBuild {
     val effBuild = withUrlBuckets(build, resume)
     val prev = scala.util.Try(IndexBuilder.loadStats(spark, out)).toOption
       .filter(p => !interrupted && p.nDocShards > 0 &&
-        p.configHash == effBuild.configHash &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(out.chunks)))
+        p.configHash == effBuild.configHash && fsExists(spark, out.chunks))
     // change-proportional-dedup preconditions, captured EAGERLY before the
     // chunk phase overwrites the changed buckets: their OLD dedup hashes
     // (the hash groups whose winners may need re-deciding), and PROOF that
@@ -371,8 +380,15 @@ object ResumableBuild {
       .filter(col("bucket").isin(candBuckets: _*))
       .join(candSigs.select("chunkId"), Seq("chunkId"), "left_semi")
       .select(core.map(col): _*).as[ChunkRow]
-    val winners = ChunkerJob.dedup(rawCand).toDF()
+    // winners carry BOTH chunk-table partition columns so the assembled
+    // merged frame matches the table layout (ubucket = overwrite grain,
+    // cbucket = the shard-aligned exchange-slice pruning grain)
+    val winners0 = ChunkerJob.dedup(rawCand).toDF()
       .withColumn("ubucket", pmod(xxhash64(col("source")), lit(nB)).cast("int"))
+    val winners = (if (p.nChunkBuckets > 0)
+        winners0.withColumn("cbucket",
+          pmod(xxhash64(col("chunkId")), lit(p.nChunkBuckets)).cast("int"))
+      else winners0)
       .localCheckpoint(true)
 
     // previous kept rows of those groups get replaced wholesale; the sig
@@ -397,13 +413,20 @@ object ResumableBuild {
       .distinct().as[(Int, Int)].collect().toSeq
 
       // merged corpus (LAZY — built only if executed), carrying the chunk
-      // table's `ubucket` PARTITION column so incrementalBuild's
-      // affected-bucket filter prunes directories on the kept side
-      val keptSide = spark.read.parquet(out.chunks)
-        .select(core.map(col) :+ col("ubucket").cast("int").as("ubucket"): _*)
+      // table's PARTITION columns: `ubucket` so incrementalBuild's
+      // affected-bucket chunk rewrite prunes directories on the kept side,
+      // and `cbucket` so its affected-SHARD exchange slice does too
+      // (shard = cbucket % nShards) — the kept side is never scanned
+      // corpus-proportionally on either axis
+      val keptTable = spark.read.parquet(out.chunks)
+      val partCols = Seq("ubucket") ++
+        (if (keptTable.columns.contains("cbucket")) Seq("cbucket") else Nil)
+      val keptSide = keptTable
+        .select(core.map(col) ++
+          partCols.map(c => col(c).cast("int").as(c)): _*)
         .join(replaced.select("chunkId"), Seq("chunkId"), "left_anti")
       val merged = keptSide.unionByName(winners.select(
-        core.map(col) :+ col("ubucket"): _*))
+        core.map(col) ++ partCols.map(col): _*))
       (pairs, merged)
     }
 

@@ -263,13 +263,17 @@ final class SparkBackend(spark: SparkSession, paths: IndexPaths) extends SearchB
     out.foreach { case (c, s) => into(c.chunkId) = (c, s) }
   }
 
-  // chunk-bucket partition pruning for candidate fetches (present when the
-  // index was built with nChunkBuckets > 0)
+  // chunk-bucket partition pruning for candidate fetches. The bucket COUNT
+  // comes from the recorded build stats — deriving it from max(cbucket)+1
+  // is wrong whenever the highest buckets happen to be empty (the modulus
+  // would shrink and candidate fetches would prune the WRONG partitions);
+  // the max+1 probe survives only as back-compat for pre-r5 indexes that
+  // predate the stats column.
   private val chunkBucketed = chunksRawDF.columns.contains("cbucket")
   private val nChunkBuckets =
-    if (chunkBucketed)
-      chunksRawDF.select(max(col("cbucket"))).head().getInt(0) + 1
-    else 0
+    if (!chunkBucketed) 0
+    else if (stats.nChunkBuckets > 0) stats.nChunkBuckets
+    else chunksRawDF.select(max(col("cbucket"))).head().getInt(0) + 1
 
   /** Candidate rows + their precomputed static bonuses (pattern, meta, gib)
     * from the cached chunk table; with a bucketed chunk table the scan is

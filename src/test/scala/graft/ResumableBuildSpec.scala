@@ -182,6 +182,48 @@ class ResumableBuildSpec extends AnyFunSuite {
       assert(afterU.getOrElse(u, Set.empty) != beforeU(u),
         s"affected ubucket $u kept its old files")
 
+    // THE 100 TB update contract (VERDICT r4 #1): the exchange slice's
+    // chunk-table scan must prune to the affected cbucket directories
+    // (shard = cbucket % nShards) — listFiles under the scan's own
+    // partition filters is the exact file set the executed scan reads
+    val slice = IndexBuilder.lastExchangeSliceDF
+    assert(slice != null, "incrementalBuild did not record the slice probe")
+    // collect scan leaves THROUGH AdaptiveSparkPlanExec (AQE roots hide
+    // their subtree from plain collect)
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val chunkScans = fileScans(slice.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths
+        .exists(_.toString.stripSuffix("/").endsWith("/chunks")))
+    assert(chunkScans.nonEmpty, "exchange slice has no chunk-table scan")
+    val readFiles = chunkScans.flatMap(s =>
+      s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString)))
+    assert(readFiles.nonEmpty, "pruned scan reads no files at all")
+    for (f <- readFiles) {
+      val cb = "cbucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)
+      assert(cb.isDefined, s"chunk file outside cbucket layout read: $f")
+      assert(incShards.contains(cb.get % stats.nDocShards),
+        s"exchange slice reads an UNAFFECTED cbucket dir: $f " +
+          s"(affected shards: $incShards)")
+    }
+
+    // per-shard avgdl lineage: affected shards stamped with the update
+    // avgdl, minBlockAvgdl == min over live shards (ADVICE r4 #1)
+    val shardAvgdl = spark.read.parquet(out.shardStats)
+      .select("shard", "avgdl").as[(Int, Double)].collect().toMap
+    assert(shardAvgdl.keySet == (0 until stats.nDocShards).toSet)
+    for (s <- incShards)
+      assert(math.abs(shardAvgdl(s) - stats.avgdl) < 1e-12,
+        s"rebuilt shard $s not stamped with the update avgdl")
+    assert(math.abs(shardAvgdl.values.min - stats.minBlockAvgdl) < 1e-12,
+      "minBlockAvgdl != min over live shards")
+
     // result parity vs a from-scratch build over the same final corpus
     val out2 = IndexPaths(
       java.nio.file.Files.createTempDirectory("graft-shardincr-direct").toString)
@@ -325,6 +367,43 @@ class ResumableBuildSpec extends AnyFunSuite {
     assert(stats.nDocs > 0)
     assert(spark.read.parquet(out.chunks)
       .filter(col("text").contains("retry sentinel")).count() > 0)
+  }
+
+  test("minBlockAvgdl recovers once every stale shard is rebuilt (no permanent ratchet)") {
+    import graft.corpus.{ChunkMeta, ChunkRow}
+    val nSh = 4
+    val cfg = BuildConfig(nTermBuckets = 4, nDocShards = nSh, shufflePartitions = 8)
+    // deterministic chunk ids per doc shard (shard = pmod(xxhash64(id), n),
+    // the same hash chunkBucket computes)
+    val idsByShard = (0 until nSh).map { s =>
+      s -> (0L until 10000L).filter(IndexBuilder.chunkBucket(_, nSh) == s)
+        .take(3).toIndexedSeq
+    }.toMap
+    def mkChunk(id: Long, words: Int) = ChunkRow(id, id, s"u$id.html", 1, 0,
+      // "quantum" is not in the STOP list ("data" is — it would tokenize
+      // to an empty corpus)
+      (0 until words).map(w => s"quantum$w").mkString(" "), ChunkMeta())
+    def corpus(lenOf: Long => Int) =
+      idsByShard.values.flatten.map(id => mkChunk(id, lenOf(id))).toSeq
+    val out = IndexPaths(
+      java.nio.file.Files.createTempDirectory("graft-avgdl").toString)
+    val s0 = IndexBuilder.build(spark, spark.createDataset(corpus(_ => 10)), out, cfg)
+    // update 1: shards 0,1 rebuilt under a LARGER avgdl; 2,3 left stale
+    val shard01 = (idsByShard(0) ++ idsByShard(1)).toSet
+    val s1 = IndexBuilder.incrementalBuild(spark,
+      spark.createDataset(corpus(id => if (shard01(id)) 30 else 10)).toDF(),
+      out, cfg, s0, Seq(0, 1))
+    assert(s1.avgdl > s0.avgdl)
+    assert(math.abs(s1.minBlockAvgdl - s0.avgdl) < 1e-12,
+      "stale shards 2,3 must still pin the bound floor")
+    // update 2: shards 2,3 rebuilt too — no live block predates update 1,
+    // so the floor must RECOVER to the oldest live shard's avgdl (a pure
+    // ratchet would keep s0.avgdl forever and inflate WAND bounds)
+    val s2 = IndexBuilder.incrementalBuild(spark,
+      spark.createDataset(corpus(_ => 30)).toDF(), out, cfg, s1, Seq(2, 3))
+    assert(math.abs(s2.minBlockAvgdl - s1.avgdl) < 1e-12,
+      s"floor should recover to ${s1.avgdl}, got ${s2.minBlockAvgdl}")
+    assert(s2.minBlockAvgdl > s0.avgdl)
   }
 
   test("incremental update reprocesses only changed urls' buckets") {

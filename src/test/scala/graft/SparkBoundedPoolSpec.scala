@@ -115,6 +115,27 @@ class SparkBoundedPoolSpec extends AnyFunSuite {
       normalDefault.map(p => (p._1.chunkId, p._2)))
   }
 
+  test("q_wand_headterm's corpus routes the full headTermWand pool through WAND (driver scale)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val (_, b) = graft.spark.DocIndex.backendFor(spark, dir)
+    val q = "scan merge sort window" // SparkEntryExtra.HeadQuery
+    val toks = graft.analysis.Analyzer.tokenize(q).toSeq
+    assert(b.dfFor(toks).values.sum > b.stats.nDocs / 2,
+      "setup: the catalog head-term query must be head on the driver corpus")
+    b.lastDenseJoin = "" // sentinel: any dense chunk-table pass overwrites it
+    val pool = b.topPool(q, q, 50, PipelineConfig(headTermWand = true))
+    assert(b.lastPoolPath == "wand-headterm",
+      s"expected wand-headterm routing, got ${b.lastPoolPath}")
+    assert(b.lastDenseJoin == "",
+      "headTermWand mode executed the dense chunk-table pass — blocks-only plan violated")
+    assert(pool.nonEmpty)
+    // and the catalog entry itself (exact WAND top-20, oracle-matched in
+    // both dialects) serves rows on the same index
+    val rows = SparkEntry.queries("q_wand_headterm")(spark, dir).collect()
+    assert(rows.length == 20)
+  }
+
   test("chunk-bucketed index (pruned candidate fetch) returns identical pools") {
     import spark.implicits._
     val pages = WebPages.generate(spark, 800, 42, 8)
