@@ -1,0 +1,140 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.query.{AnnPreselector, BruteForceAnn, EmbeddingProvider, SparkAnnLsh}
+
+/** Corpus embedding table with a CHANGE-PROPORTIONAL freshness story —
+  * the engine-side analog of the reference's FAISS cache invalidation by
+  * manifest hash (semantic_index.py:25-71), re-expressed at the partition
+  * grain the 10^12-chunk layout demands:
+  *
+  *  - rows are (chunkId, h, embedding) where `h` is the chunk's content
+  *    signature (IndexBuilder.sigCol — the SAME hash the chunk_sigs side
+  *    table records), partitioned by `ubucket` exactly like the chunk
+  *    table;
+  *  - staleness is detected per SNAPSHOT (manifest `emb_snapshot` vs the
+  *    index `snapshot_id`) — an O(1) check on the serving path;
+  *  - a stale table is refreshed by DIFFING the 16 B/chunk sig table
+  *    against the stored (chunkId, h) pairs — never by re-reading corpus
+  *    text — and only the url-bucket partitions containing changed, new,
+  *    or removed chunks are re-embedded and rewritten (dynamic-partition
+  *    overwrite, emptied partitions deleted explicitly);
+  *  - [[annFor]] is the staleness-checked constructor the serving path
+  *    uses: refresh-if-stale, then an ANN preselector over the table.
+  */
+object EmbeddingTable {
+
+  def dir(out: IndexPaths): String = s"${out.root}/embeddings"
+
+  private def indexSnapshot(out: IndexPaths): Option[String] =
+    TableIO.readManifest(out.manifest).flatMap(_.get("snapshot_id"))
+
+  private def stamp(out: IndexPaths): Unit = {
+    val m = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
+    m.get("snapshot_id").foreach(s =>
+      TableIO.writeManifest(out.manifest, m + ("emb_snapshot" -> s)))
+  }
+
+  /** O(1) serving-path staleness check: table exists and was stamped with
+    * the CURRENT index snapshot.
+    */
+  def isFresh(spark: SparkSession, out: IndexPaths): Boolean = {
+    val m = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
+    m.get("emb_snapshot").exists(m.get("snapshot_id").contains(_)) && {
+      val p = new org.apache.hadoop.fs.Path(dir(out))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+  }
+
+  /** (chunkId, h, ubucket, embedding) for the given chunk-table slice;
+    * chunks the provider cannot embed are dropped (reference behavior:
+    * absent vectors simply don't participate in ANN).
+    */
+  private def embedFrame(spark: SparkSession, chunksDF: DataFrame,
+                         provider: EmbeddingProvider): DataFrame = {
+    import spark.implicits._
+    val hasU = chunksDF.columns.contains("ubucket")
+    chunksDF
+      .select(col("chunkId"), IndexBuilder.sigCol.as("h"),
+        (if (hasU) col("ubucket").cast("int") else lit(0)).as("ubucket"),
+        col("text"))
+      .as[(Long, Long, Int, String)]
+      .mapPartitions(_.flatMap { case (id, h, u, text) =>
+        provider.embed(text).map(e => (id, h, u, e.toSeq))
+      })
+      .toDF("chunkId", "h", "ubucket", "embedding")
+  }
+
+  private def writePartitions(df: DataFrame, out: IndexPaths,
+                              dynamic: Boolean): Unit = {
+    val w = df.repartition(col("ubucket")).write.mode(SaveMode.Overwrite)
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("ubucket").parquet(dir(out))
+  }
+
+  /** Full (re)build of the embedding table from the chunk table. */
+  def build(spark: SparkSession, out: IndexPaths,
+            provider: EmbeddingProvider): Unit = {
+    val chunks = spark.read.parquet(out.chunks)
+    writePartitions(embedFrame(spark, chunks, provider), out, dynamic = false)
+    stamp(out)
+  }
+
+  /** Change-proportional refresh; falls back to a full rebuild when the
+    * table is absent or the layout lacks the partition/sig machinery.
+    * No-op when already fresh.
+    */
+  def refresh(spark: SparkSession, out: IndexPaths,
+              provider: EmbeddingProvider): Unit = {
+    import spark.implicits._
+    if (isFresh(spark, out)) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(conf).exists(p)
+    }
+    val chunks = spark.read.parquet(out.chunks)
+    val partial = exists(dir(out)) && exists(out.chunkSigs) &&
+      chunks.columns.contains("ubucket")
+    if (!partial) { build(spark, out, provider); return }
+
+    // the diff reads 16 B/chunk signatures on both sides — never text
+    val sigs = spark.read.parquet(out.chunkSigs)
+      .select(col("chunkId"), col("h"), col("ubucket").cast("int").as("ubucket"))
+    val emb = spark.read.parquet(dir(out))
+    val changedOrNew = sigs
+      .join(emb.select("chunkId", "h"), Seq("chunkId", "h"), "left_anti")
+      .select(col("ubucket"))
+    val removed = emb
+      .join(sigs.select("chunkId"), Seq("chunkId"), "left_anti")
+      .select(col("ubucket").cast("int").as("ubucket"))
+    val affected = changedOrNew.union(removed).distinct().as[Int].collect().toSeq
+    if (affected.isEmpty) { stamp(out); return }
+
+    // re-embed ONLY the affected ubucket partitions' chunks (pruned scan);
+    // pre-delete so a partition emptied of chunks doesn't survive as a
+    // stale directory under dynamic overwrite
+    val newPart = embedFrame(spark,
+      chunks.filter(col("ubucket").isin(affected: _*)), provider)
+      .localCheckpoint(true)
+    for (u <- affected) {
+      val d = new org.apache.hadoop.fs.Path(s"${dir(out)}/ubucket=$u")
+      val fs = d.getFileSystem(conf)
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    writePartitions(newPart, out, dynamic = true)
+    stamp(out)
+  }
+
+  /** Staleness-checked ANN preselector over the (refreshed) table. */
+  def annFor(spark: SparkSession, out: IndexPaths, provider: EmbeddingProvider,
+             lsh: Boolean = false, nPlanes: Int = 16, probes: Int = 16)
+      : AnnPreselector = {
+    refresh(spark, out, provider)
+    val emb = spark.read.parquet(dir(out))
+      .select(col("chunkId").as("chunk_id"), col("embedding"))
+    if (lsh) new SparkAnnLsh(spark, emb, provider, nPlanes, probes)
+    else new BruteForceAnn(spark, emb, provider)
+  }
+}
