@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.corpus.{ChunkerConfig, PageDoc, WebPages}
+import graft.index._
+import graft.streaming.StreamIngest
+
+/** Stretch directive (VERDICT r4 #8): a stream-fed re-crawl, driven
+  * through foreachBatch -> detectChanged -> incrementalUpdate, must
+  * produce the SAME index as the batch `update` path over the same final
+  * corpus — and must take the change-proportional route, not a rebuild.
+  */
+class StreamIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val chunker = ChunkerConfig(qualityCheck = false)
+  private val build = BuildConfig(nTermBuckets = 4, nDocShards = 4, shufflePartitions = 8)
+  private val resume = ResumableBuild.ResumeConfig(nInputBuckets = 8)
+
+  private def ts(min: Long) = new Timestamp(1704067200000L + min * 60000L)
+
+  test("stream-ingested re-crawl == batch update path (identical chunk table + stats)") {
+    implicit val sqlCtx = spark.sqlContext
+    val crawlA = WebPages.generate(spark, 100, seed = 11, partitions = 4)
+      .select("url", "text").as[(String, String)].collect().toIndexedSeq
+    val target = crawlA.map(_._1).sorted.head
+    val newText = crawlA.find(_._1 == target).get._2 + " streamed recrawl sentinel"
+    val newUrl = "https://stream.example/new-page"
+
+    // --- streaming path ---
+    val outS = IndexPaths(
+      java.nio.file.Files.createTempDirectory("graft-streamingest").toString)
+    val input = MemoryStream[(String, Timestamp, String)]
+    val query = input.toDF().toDF("url", "warc_ts", "text")
+      .writeStream
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-streamckpt").toString)
+      .foreachBatch(StreamIngest.sink(outS, build, chunker, resume))
+      .start()
+    // batch 1: the full initial crawl
+    input.addData(crawlA.map { case (u, t) => (u, ts(0), t) })
+    query.processAllAvailable()
+    assert(spark.read.parquet(outS.chunks).count() > 0)
+    // batch 2: one url re-crawled with new text + one new url; plus an
+    // UNCHANGED re-delivery that must trigger nothing
+    input.addData(Seq(
+      (target, ts(60), newText),
+      (newUrl, ts(61), "entirely new streamed page about quantum dynamos"),
+      (crawlA.map(_._1).sorted.last, ts(0), crawlA.last._2)))
+    query.processAllAvailable()
+    query.stop()
+    val mS = TableIO.readManifest(outS.manifest).get
+    assert(mS.contains("incremental_shards"),
+      "stream batch 2 must take the incremental path, not a rebuild")
+    assert(mS.get("dedup_mode").contains("change-proportional"))
+
+    // --- batch `update` path over the same corpus history ---
+    val outB = IndexPaths(
+      java.nio.file.Files.createTempDirectory("graft-batchupd").toString)
+    val pagesA = spark.createDataset(crawlA.map { case (u, t) =>
+      PageDoc(u, 1, t, None) })
+    ResumableBuild.run(spark, pagesA, outB, build, chunker, resume)
+    val pagesB = spark.createDataset(
+      crawlA.map { case (u, t) =>
+        PageDoc(u, 1, if (u == target) newText else t, None) } :+
+      PageDoc(newUrl, 1, "entirely new streamed page about quantum dynamos", None))
+    ResumableBuild.incrementalUpdate(spark, pagesB,
+      Seq(target, newUrl).toDF("url"), outB, build, chunker, resume)
+
+    def sig(out: IndexPaths) = spark.read.parquet(out.chunks)
+      .select("chunkId", "text", "source", "page", "chunkIdx")
+      .as[(Long, String, String, Int, Int)].collect().toSet
+    assert(sig(outS) == sig(outB), "stream-fed chunk table != batch-updated one")
+    val sS = IndexBuilder.loadStats(spark, outS)
+    val sB = IndexBuilder.loadStats(spark, outB)
+    assert(sS.nDocs == sB.nDocs)
+    assert(math.abs(sS.avgdl - sB.avgdl) < 1e-12)
+    assert(sS.vocabSize == sB.vocabSize)
+    // served content: the streamed re-crawl text is queryable on both
+    for (out <- Seq(outS, outB))
+      assert(spark.read.parquet(out.chunks)
+        .filter(col("text").contains("streamed recrawl sentinel")).count() > 0)
+    // identical WAND results through both indexes
+    val b1 = new graft.query.SparkBackend(spark, outS)
+    val b2 = new graft.query.SparkBackend(spark, outB)
+    for (q <- Seq("streamed recrawl sentinel", "quantum dynamos")) {
+      val w1 = graft.query.Wand.topK(spark, outS, b1.stats, q, 10, b1.idfFor)
+      val w2 = graft.query.Wand.topK(spark, outB, b2.stats, q, 10, b2.idfFor)
+      assert(w1 == w2, s"'$q' WAND results diverge")
+      assert(w1.nonEmpty)
+    }
+  }
+}
