@@ -263,11 +263,17 @@ object GraftCli {
         val small = if (args.length > 3) args(3).toInt else 4
         val big = small * 4
         def sess(c: Int) = {
-          val s = SparkSession.builder().master(s"local[$c]")
+          val b = SparkSession.builder().master(s"local[$c]")
             .config("spark.sql.shuffle.partitions", c.toString)
             .config("spark.ui.enabled", "false")
             .config("spark.local.dir", "/dev/shm/graft-spark")
-            .getOrCreate()
+          // experiment knob: SPARK_GRAFT_CONF="k=v,k=v" extra session confs
+          // so shuffle-path A/Bs run in ONE window through the same probe
+          sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+            .foreach { kv =>
+              val Array(k, v) = kv.split("=", 2); b.config(k, v)
+            })
+          val s = b.getOrCreate()
           s.sparkContext.setLogLevel("ERROR"); s
         }
         def mapOnly(s: SparkSession): Double = {
