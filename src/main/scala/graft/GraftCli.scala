@@ -268,10 +268,15 @@ object GraftCli {
             .config("spark.ui.enabled", "false")
             .config("spark.local.dir", "/dev/shm/graft-spark")
           // experiment knob: SPARK_GRAFT_CONF="k=v,k=v" extra session confs
-          // so shuffle-path A/Bs run in ONE window through the same probe
+          // so shuffle-path A/Bs run in ONE window through the same probe.
+          // Values may not contain ',' (the pair separator); every applied
+          // pair is echoed so a shredded value can't silently mislabel the
+          // A/B.
           sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
             .foreach { kv =>
-              val Array(k, v) = kv.split("=", 2); b.config(k, v)
+              val Array(k, v) = kv.split("=", 2)
+              System.err.println(s"[graft] scaleprobe conf: $k=$v")
+              b.config(k, v)
             })
           val s = b.getOrCreate()
           s.sparkContext.setLogLevel("ERROR"); s

@@ -47,9 +47,12 @@ object EmbeddingTable {
     }
   }
 
-  /** (chunkId, h, ubucket, embedding) for the given chunk-table slice;
-    * chunks the provider cannot embed are dropped (reference behavior:
-    * absent vectors simply don't participate in ANN).
+  /** (chunkId, h, ubucket, embedding) for the given chunk-table slice.
+    * Chunks the provider cannot embed keep a ROW with a null embedding —
+    * dropping them would leave their (chunkId, h) permanently absent, and
+    * every later refresh would re-flag them as changed and rewrite their
+    * whole partitions (change-proportional would silently decay toward
+    * corpus-proportional). ANN consumers filter the nulls out.
     */
   private def embedFrame(spark: SparkSession, chunksDF: DataFrame,
                          provider: EmbeddingProvider): DataFrame = {
@@ -60,8 +63,8 @@ object EmbeddingTable {
         (if (hasU) col("ubucket").cast("int") else lit(0)).as("ubucket"),
         col("text"))
       .as[(Long, Long, Int, String)]
-      .mapPartitions(_.flatMap { case (id, h, u, text) =>
-        provider.embed(text).map(e => (id, h, u, e.toSeq))
+      .mapPartitions(_.map { case (id, h, u, text) =>
+        (id, h, u, provider.embed(text).map(_.toSeq))
       })
       .toDF("chunkId", "h", "ubucket", "embedding")
   }
@@ -127,14 +130,33 @@ object EmbeddingTable {
     stamp(out)
   }
 
-  /** Staleness-checked ANN preselector over the (refreshed) table. */
+  // serving memo: one preselector per (index root, kind, snapshot) — the
+  // Ann constructors persist their frame, so handing out a fresh instance
+  // per call would leak cached blocks on a long-running driver; a snapshot
+  // change naturally drops the old entry (its cache is reclaimed by the
+  // context cleaner once unreferenced)
+  private val annMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, AnnPreselector)]()
+
+  /** Staleness-checked ANN preselector over the (refreshed) table —
+    * memoized per index snapshot, so repeated serving calls reuse one
+    * cached instance instead of stacking persisted frames.
+    */
   def annFor(spark: SparkSession, out: IndexPaths, provider: EmbeddingProvider,
              lsh: Boolean = false, nPlanes: Int = 16, probes: Int = 16)
       : AnnPreselector = {
     refresh(spark, out, provider)
+    val snap = indexSnapshot(out).getOrElse("")
+    val key = (out.root, s"$lsh/$nPlanes/$probes")
+    val cur = annMemo.get(key)
+    if (cur != null && cur._1 == snap) return cur._2
     val emb = spark.read.parquet(dir(out))
+      .filter(col("embedding").isNotNull)
       .select(col("chunkId").as("chunk_id"), col("embedding"))
-    if (lsh) new SparkAnnLsh(spark, emb, provider, nPlanes, probes)
-    else new BruteForceAnn(spark, emb, provider)
+    val ann: AnnPreselector =
+      if (lsh) new SparkAnnLsh(spark, emb, provider, nPlanes, probes)
+      else new BruteForceAnn(spark, emb, provider)
+    annMemo.put(key, (snap, ann))
+    ann
   }
 }

@@ -94,19 +94,18 @@ case class BuildConfig(
     if (nDocShards > 0) nDocShards
     else math.min(4096L, math.max(4L, nDocs / 250000L + 1L)).toInt
 
-  /** Resolved chunk-bucket count: defaults to the doc-shard grain and is
-    * VALIDATED as a multiple of it — the alignment that makes
+  /** Resolved chunk-bucket count: defaults to the doc-shard grain, and an
+    * explicit value is treated as a MINIMUM rounded UP to the next
+    * multiple of the resolved shard count — the alignment that makes
     * `shard = cbucket % nShards` hold, so the incremental exchange slice
-    * prunes cbucket directories instead of scanning the corpus.
+    * prunes cbucket directories instead of scanning the corpus. Rounding
+    * (not a hard require) because the shard count is corpus-derived when
+    * nDocShards = 0: a fixed explicit bucket count must not start
+    * crashing builds the day the corpus grows past a shard boundary.
     */
   def resolveChunkBuckets(nShards: Int): Int =
     if (nChunkBuckets <= 0) nShards
-    else {
-      require(nChunkBuckets % nShards == 0,
-        s"nChunkBuckets=$nChunkBuckets must be a multiple of the resolved " +
-          s"doc-shard count $nShards (shard must be derivable from cbucket)")
-      nChunkBuckets
-    }
+    else ((nChunkBuckets + nShards - 1) / nShards) * nShards
 }
 
 object BuildConfig {
@@ -166,10 +165,14 @@ case class PartitionMetric(phase: String, partitionId: Int, rows: Long,
   */
 object IndexBuilder {
 
-  /** Test probe: the (pre-materialization) exchange-slice frame of the
-    * last incrementalBuild — specs assert its chunk-table scan prunes to
-    * the affected cbucket directories (the 100 TB update contract).
+  /** Test probe: when `probeExchangeSlice` is set, incrementalBuild
+    * records the (pre-materialization) exchange-slice frame so specs can
+    * assert its chunk-table scan prunes to the affected cbucket
+    * directories (the 100 TB update contract). Opt-in: a production
+    * driver must not pin the last update's plan lineage (and its
+    * checkpoint blocks) for the JVM lifetime.
     */
+  @volatile private[graft] var probeExchangeSlice = false
   @volatile private[graft] var lastExchangeSliceDF: DataFrame = _
 
   /** Stable 64-bit id from the md5 of a key (portable, seedless). */
@@ -651,14 +654,17 @@ object IndexBuilder {
           s"${cfg.resolveChunkBuckets(nShards)}")
       val shardSet = affectedShards.toSet
       val sliced =
-        if (chunks.columns.contains("cbucket")) {
+        // nCb > 0 guard: a table CARRYING cbucket but whose stats predate
+        // the recorded count (nCb == 0) must take the hash-filter path —
+        // an empty isin list would silently drop every kept chunk
+        if (nCb > 0 && chunks.columns.contains("cbucket")) {
           val affectedCb = (0 until nCb).filter(c => shardSet(c % nShards))
           chunks.filter(col("cbucket").isin(affectedCb: _*))
         } else {
           val shardCol = pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int")
           chunks.filter(shardCol.isin(affectedShards: _*))
         }
-      lastExchangeSliceDF = sliced // test probe: scans must show pruning
+      lastExchangeSliceDF = if (probeExchangeSlice) sliced else null
       val affectedChunks = sliced
         .select(col("chunkId"), col("docId"), col("source"), col("page"),
           col("chunkIdx"), col("text"), col("meta"))

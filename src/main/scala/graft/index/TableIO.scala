@@ -7,6 +7,14 @@ import scala.jdk.CollectionConverters._
   * runtime, so snapshot metadata, lineage, and per-partition checkpoints are
   * emulated with atomic JSON files next to the parquet tables. Where an
   * Iceberg catalog exists this seam maps to table properties + snapshots.
+  *
+  * DEPLOYMENT BOUNDARY: this emulation is java.nio-based and therefore
+  * LOCAL-FILESYSTEM ONLY — it is the one seam that must be swapped for the
+  * real catalog on hdfs://s3a:// roots (atomic rename and O_APPEND, which
+  * the manifest/checkpoint contracts rely on, do not exist on object
+  * stores; Iceberg's metadata tree is the production answer, not a Hadoop
+  * FileSystem port of this file). The parquet tables and the Hadoop-FS
+  * existence checks around them are already cluster-addressable.
   */
 object TableIO {
 

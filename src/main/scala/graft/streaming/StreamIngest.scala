@@ -56,16 +56,23 @@ object StreamIngest {
       .localCheckpoint(true)
 
     val store = pagesStore(out)
-    val storePath = new org.apache.hadoop.fs.Path(store)
-    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(conf).exists(p)
+    }
     val bucketCol = pmod(xxhash64(col("url")), lit(resume.nInputBuckets)).cast("int")
 
     def pagesOf(df: DataFrame) = df
       .select(col("url"), lit(1).as("page"), col("text"), col("title"))
       .as[PageDoc]
 
-    if (!fs.exists(storePath)) {
-      // bootstrap: first batch IS the corpus
+    // bootstrap keys on the URL MANIFEST, written last: a crash after the
+    // store write but before the manifest would otherwise strand the
+    // stream in the incremental branch reading a manifest that never
+    // existed — re-delivery re-runs the (idempotent, checkpoint-resumed)
+    // bootstrap instead
+    if (!exists(store) || !exists(ResumableBuild.urlManifestPath(out))) {
       latest.withColumn("bucket", bucketCol)
         .repartition(resume.nInputBuckets, col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(store)
@@ -80,13 +87,23 @@ object StreamIngest {
     // collect the small changed-url set before any store mutation
     val changedUrls = newU.union(changed).distinct().as[String].collect().toSeq
 
-    // upsert: rewrite only the buckets containing batch urls
+    // upsert: rewrite only the buckets containing batch urls, keeping the
+    // NEWEST (warc_ts) row per url across store ∪ batch — a re-delivered
+    // or out-of-order OLDER crawl must not roll stored content back
+    // (detectChanged would not flag it, leaving store and index disagreeing
+    // until an unrelated same-bucket change silently indexed stale text).
+    // Ties prefer the batch row (same crawl re-delivered).
     val buckets = latest.select(bucketCol.as("b")).distinct().as[Int].collect().toSeq
     val merged = spark.read.parquet(store)
       .filter(col("bucket").isin(buckets: _*))
-      .join(latest.select("url"), Seq("url"), "left_anti")
       .select(col("url"), col("warc_ts"), col("text"), col("title"), col("bucket"))
-      .unionByName(latest.withColumn("bucket", bucketCol))
+      .withColumn("prio", lit(0))
+      .unionByName(latest.withColumn("bucket", bucketCol).withColumn("prio", lit(1)))
+      .groupBy("url")
+      .agg(max_by(struct(col("warc_ts"), col("text"), col("title"), col("bucket")),
+        struct(col("warc_ts"), col("prio"))).as("r"))
+      .select(col("url"), col("r.warc_ts").as("warc_ts"), col("r.text").as("text"),
+        col("r.title").as("title"), col("r.bucket").as("bucket"))
       .localCheckpoint(true) // materialize BEFORE overwriting what it reads
     merged.repartition(math.max(1, buckets.length), col("bucket"))
       .write.mode(SaveMode.Overwrite)

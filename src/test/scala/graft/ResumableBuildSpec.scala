@@ -135,6 +135,7 @@ class ResumableBuildSpec extends AnyFunSuite {
     val beforeU = filesByU()
     assert(before.keySet.size > 4, "setup: expected many shard dirs")
     assert(beforeU.keySet.size > 4, "setup: expected many ubucket dirs")
+    IndexBuilder.probeExchangeSlice = true
 
     // one url gets new text; everything else byte-identical
     val targetUrl = pagesA.select("url").as[String].orderBy("url").head()
@@ -187,6 +188,7 @@ class ResumableBuildSpec extends AnyFunSuite {
     // (shard = cbucket % nShards) — listFiles under the scan's own
     // partition filters is the exact file set the executed scan reads
     val slice = IndexBuilder.lastExchangeSliceDF
+    IndexBuilder.probeExchangeSlice = false
     assert(slice != null, "incrementalBuild did not record the slice probe")
     // collect scan leaves THROUGH AdaptiveSparkPlanExec (AQE roots hide
     // their subtree from plain collect)

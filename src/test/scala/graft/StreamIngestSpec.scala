@@ -52,11 +52,22 @@ class StreamIngestSpec extends AnyFunSuite {
       (newUrl, ts(61), "entirely new streamed page about quantum dynamos"),
       (crawlA.map(_._1).sorted.last, ts(0), crawlA.last._2)))
     query.processAllAvailable()
-    query.stop()
     val mS = TableIO.readManifest(outS.manifest).get
     assert(mS.contains("incremental_shards"),
       "stream batch 2 must take the incremental path, not a rebuild")
     assert(mS.get("dedup_mode").contains("change-proportional"))
+    // batch 3: an OLDER out-of-order re-delivery of the re-crawled url
+    // with stale text — must neither roll the store back nor touch the
+    // index (max_by(warc_ts) upsert + strictly-newer change detection)
+    val snapBefore = mS("snapshot_id")
+    input.addData(Seq((target, ts(30), "stale out of order text")))
+    query.processAllAvailable()
+    query.stop()
+    assert(TableIO.readManifest(outS.manifest).get("snapshot_id") == snapBefore,
+      "out-of-order old delivery must not trigger an index update")
+    assert(spark.read.parquet(StreamIngest.pagesStore(outS))
+      .filter(col("url") === target).select("text").as[String].head() == newText,
+      "store rolled back to stale out-of-order content")
 
     // --- batch `update` path over the same corpus history ---
     val outB = IndexPaths(
