@@ -64,6 +64,57 @@ final class BruteForceAnn(spark: SparkSession, embeddings: DataFrame,
     }
 }
 
+/** IVF-flat preselector — the third member of the preselect family
+  * (brute / LSH / IVF): an offline-fitted codebook ([[graft.query.Ivf]],
+  * or any (cid, embedding) frame), every vector assigned ONCE to its
+  * nearest cell (a narrow cached pass — at 10^12 vectors this is the
+  * persisted `cell` partition column of the embeddings table), query-time
+  * candidates limited to the query's `nprobe` nearest cells, exact cosine
+  * only there. The codebook is broadcast-sized (k × dim).
+  */
+final class IvfAnn(spark: SparkSession, embeddings: DataFrame,
+                   centroids: DataFrame, provider: EmbeddingProvider,
+                   nprobe: Int = 2) extends AnnPreselector {
+  import spark.implicits._
+  private val cents: Array[(Int, Array[Float])] = centroids
+    .select("cid", "embedding").as[(Int, Seq[Float])].collect()
+    .map { case (cid, e) => (cid, e.toArray) }
+    .sortBy(_._1)
+
+  // one narrow assignment pass, cached; cell-pruned thereafter. The udf
+  // captures the LOCAL codebook array — capturing `this` would drag the
+  // (non-serializable) SparkSession into the task closure.
+  private val assigned = {
+    val cs = cents
+    val cellUdf = udf((e: Seq[Float]) => {
+      var best = 0; var bestSim = Double.NegativeInfinity
+      for ((cid, ce) <- cs) {
+        val s = Ann.cosine(e, ce)
+        if (s > bestSim) { bestSim = s; best = cid }
+      }
+      best
+    })
+    embeddings.select(col("chunk_id"), col("embedding"))
+      .withColumn("cell", cellUdf(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  override def preselect(query: String, topn: Int): Seq[Long] =
+    provider.embedQuery(query) match {
+      case None => Nil
+      case Some(qe) =>
+        val probes = cents.map { case (cid, ce) => (cid, Ann.cosine(qe.toSeq, ce)) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
+        val qv = qe
+        val cos = udf((e: Seq[Float]) => Ann.cosine(e, qv))
+        assigned.filter(col("cell").isin(probes: _*))
+          .withColumn("cos", cos(col("embedding")))
+          .orderBy(desc("cos"), asc("chunk_id"))
+          .limit(topn)
+          .select("chunk_id").as[Long].collect().toSeq
+    }
+}
+
 final class SparkAnnLsh(spark: SparkSession, embeddings: DataFrame,
                         provider: EmbeddingProvider,
                         nPlanes: Int = 16, probes: Int = 16) extends AnnPreselector {

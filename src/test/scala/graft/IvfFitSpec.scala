@@ -36,6 +36,37 @@ class IvfFitSpec extends AnyFunSuite {
     }
   }
 
+  test("IvfAnn preselector (cell-pruned serving path) recall@10 >= 0.8, top-1 exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vecs = cemb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    val provider = new graft.query.EmbeddingProvider {
+      def embed(t: String): Option[Array[Float]] = None
+      def embedQuery(q: String): Option[Array[Float]] = Some(vecs(0L).toArray)
+    }
+    val emb = cemb.select(col("vec_id").as("chunk_id"), col("embedding"))
+      .filter(col("chunk_id") =!= 0L)
+    val centroids = spark.read.parquet(s"$fixtures/dims/ivf_centroids.parquet")
+    val ann = new graft.query.IvfAnn(spark, emb, centroids, provider, nprobe = 2)
+    val got = ann.preselect("any", 10)
+    assert(got.nonEmpty)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val brute = vecs.iterator.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cos(e, vecs(0L))) }.toSeq
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val recall = brute.toSet.intersect(got.toSet).size / 10.0
+    assert(recall >= 0.8, s"IvfAnn recall@10 $recall < 0.8")
+    assert(got.head == brute.head, "top-1 must survive IVF cell pruning")
+  }
+
   test("q_ann_ivf with the fitted codebook keeps recall@5 >= 0.8 vs brute force") {
     import spark.implicits._
     val vecs = cemb.select("vec_id", "embedding").as[(Long, Seq[Float])]
