@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.query.{AnnPreselector, BruteForceAnn, EmbeddingProvider, SparkAnnLsh}
+import graft.query.{AnnPreselector, BruteForceAnn, EmbeddingProvider, IvfAnn, SparkAnnLsh}
 
 /** Corpus embedding table with a CHANGE-PROPORTIONAL freshness story —
   * the engine-side analog of the reference's FAISS cache invalidation by
@@ -130,6 +130,36 @@ object EmbeddingTable {
     stamp(out)
   }
 
+  def codebookDir(out: IndexPaths): String = s"${out.root}/ivf_centroids"
+
+  /** IVF coarse-quantizer codebook for the table — fitted ONCE (seeded
+    * spherical k-means, [[graft.query.Ivf.fit]]) and persisted under the
+    * index root, then reused across snapshots: a coarse quantizer's
+    * quality degrades only with distribution drift, not with individual
+    * row churn, and cell ASSIGNMENTS are recomputed per snapshot by the
+    * serving preselector anyway (FAISS retrains its IVF index on the same
+    * offline cadence). Delete the directory (or call with refit=true) to
+    * force a refit after bulk drift.
+    */
+  private def codebook(spark: SparkSession, out: IndexPaths, k: Int,
+                       refit: Boolean): DataFrame = {
+    val cbDir = codebookDir(out)
+    val p = new org.apache.hadoop.fs.Path(cbDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (refit || !fs.exists(p)) {
+      val emb = spark.read.parquet(dir(out))
+        .filter(col("embedding").isNotNull)
+        .select(col("chunkId").as("vec_id"), col("embedding"))
+      val n = emb.count()
+      require(n > 0, "cannot fit an IVF codebook over an empty embedding table")
+      // never more cells than vectors; k-means++ would only mint duplicates
+      val kEff = math.max(1, math.min(k, n).toInt)
+      graft.query.Ivf.fit(spark, emb, kEff)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(cbDir)
+    }
+    spark.read.parquet(cbDir)
+  }
+
   // serving memo: one preselector per (index root, kind, snapshot) — the
   // Ann constructors persist their frame, so handing out a fresh instance
   // per call would leak cached blocks on a long-running driver; a snapshot
@@ -140,22 +170,32 @@ object EmbeddingTable {
 
   /** Staleness-checked ANN preselector over the (refreshed) table —
     * memoized per index snapshot, so repeated serving calls reuse one
-    * cached instance instead of stacking persisted frames.
+    * cached instance instead of stacking persisted frames. `kind` selects
+    * the preselect family: "brute" (exact, the baseline), "lsh"
+    * (hyperplane-bucketed), or "ivf" (cell-pruned over the persisted
+    * codebook — the 10^12-vector scale path).
     */
   def annFor(spark: SparkSession, out: IndexPaths, provider: EmbeddingProvider,
-             lsh: Boolean = false, nPlanes: Int = 16, probes: Int = 16)
+             kind: String = "brute", nPlanes: Int = 16, probes: Int = 16,
+             ivfK: Int = 16, nprobe: Int = 2, refitIvf: Boolean = false)
       : AnnPreselector = {
+    require(Set("brute", "lsh", "ivf")(kind), s"unknown ANN kind: $kind")
     refresh(spark, out, provider)
     val snap = indexSnapshot(out).getOrElse("")
-    val key = (out.root, s"$lsh/$nPlanes/$probes")
-    val cur = annMemo.get(key)
-    if (cur != null && cur._1 == snap) return cur._2
+    val key = (out.root, s"$kind/$nPlanes/$probes/$ivfK/$nprobe")
+    if (!refitIvf) {
+      val cur = annMemo.get(key)
+      if (cur != null && cur._1 == snap) return cur._2
+    }
     val emb = spark.read.parquet(dir(out))
       .filter(col("embedding").isNotNull)
       .select(col("chunkId").as("chunk_id"), col("embedding"))
-    val ann: AnnPreselector =
-      if (lsh) new SparkAnnLsh(spark, emb, provider, nPlanes, probes)
-      else new BruteForceAnn(spark, emb, provider)
+    val ann: AnnPreselector = kind match {
+      case "lsh" => new SparkAnnLsh(spark, emb, provider, nPlanes, probes)
+      case "ivf" =>
+        new IvfAnn(spark, emb, codebook(spark, out, ivfK, refitIvf), provider, nprobe)
+      case _ => new BruteForceAnn(spark, emb, provider)
+    }
     annMemo.put(key, (snap, ann))
     ann
   }

@@ -101,6 +101,52 @@ class EmbeddingFreshnessSpec extends AnyFunSuite {
       "fresh table was rewritten by a no-op refresh")
   }
 
+  test("annFor kind=ivf: codebook fitted once and persisted; all-cells probe == brute; fit survives snapshot churn") {
+    val out = IndexPaths(
+      java.nio.file.Files.createTempDirectory("graft-embivf").toString)
+    ResumableBuild.run(spark, pagesA, out, build, chunker, resume)
+    EmbeddingTable.build(spark, out, HashProvider)
+
+    val ivf = EmbeddingTable.annFor(spark, out, HashProvider,
+      kind = "ivf", ivfK = 4, nprobe = 4)
+    val brute = EmbeddingTable.annFor(spark, out, HashProvider)
+    val q = "inverted index compression"
+    // probing every cell makes IVF an exact partition of brute's scan —
+    // identical float chain and tie-break, so the lists must be EQUAL
+    assert(ivf.preselect(q, 10) == brute.preselect(q, 10))
+
+    val cbDir = java.nio.file.Paths.get(EmbeddingTable.codebookDir(out))
+    assert(java.nio.file.Files.exists(cbDir), "codebook was not persisted")
+    def cbFiles = {
+      val s = java.nio.file.Files.walk(cbDir)
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => (p.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p))).toSet
+      finally s.close()
+    }
+    val fitted = cbFiles
+
+    // snapshot churn: the coarse quantizer is reused (assignments are
+    // per-snapshot, the codebook is offline-cadence like FAISS retraining)
+    val targetUrl = pagesA.select("url").as[String].orderBy("url").head()
+    val pagesB = pagesA.map(p =>
+      if (p.url == targetUrl) p.copy(text = p.text + " ivf drift sentinel") else p)
+    ResumableBuild.incrementalUpdate(spark, pagesB,
+      Seq(targetUrl).toDF("url"), out, build, chunker, resume)
+    val ivf2 = EmbeddingTable.annFor(spark, out, HashProvider,
+      kind = "ivf", ivfK = 4, nprobe = 4)
+    assert(cbFiles == fitted, "codebook was refit on a snapshot change")
+    assert(EmbeddingTable.isFresh(spark, out))
+    val brute2 = EmbeddingTable.annFor(spark, out, HashProvider)
+    assert(ivf2.preselect(q, 10) == brute2.preselect(q, 10),
+      "post-update IVF serving diverged from brute over the refreshed table")
+
+    // cell pruning actually engages at nprobe < k and still returns rows
+    val pruned = EmbeddingTable.annFor(spark, out, HashProvider,
+      kind = "ivf", ivfK = 4, nprobe = 1)
+    assert(pruned.preselect(q, 5).nonEmpty)
+  }
+
   test("removed urls evict their vectors on refresh") {
     val out = IndexPaths(
       java.nio.file.Files.createTempDirectory("graft-embevict").toString)
