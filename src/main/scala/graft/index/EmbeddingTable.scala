@@ -160,6 +160,135 @@ object EmbeddingTable {
     spark.read.parquet(cbDir)
   }
 
+  def cellsDir(out: IndexPaths): String = s"${out.root}/ivf_lists"
+
+  /** Cheap identity fingerprint of the persisted codebook (file names,
+    * sizes, mtimes) — a refit rewrites the parquet files, so a changed
+    * stamp means every cell assignment is suspect and the cells table is
+    * rebuilt wholesale; snapshot churn alone leaves it untouched.
+    */
+  private def codebookFingerprint(spark: SparkSession, out: IndexPaths): String = {
+    val p = new org.apache.hadoop.fs.Path(codebookDir(out))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "" else
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("|")
+  }
+
+  private def loadCodebook(spark: SparkSession, out: IndexPaths)
+      : Array[(Int, Array[Float])] = {
+    import spark.implicits._
+    spark.read.parquet(codebookDir(out))
+      .select("cid", "embedding").as[(Int, Seq[Float])].collect()
+      .map { case (cid, e) => (cid, e.toArray) }.sortBy(_._1)
+  }
+
+  /** Change-proportional maintenance of the PERSISTED inverted-lists
+    * table — (chunkId, h, embedding) PARTITIONED BY `cell`, the FAISS
+    * inverted-file layout expressed as parquet partitioning. Serving
+    * reads exactly its `nprobe` cell partitions (no join, no corpus
+    * scan, no serving-time assignment pass); at 10^12 vectors the probe
+    * read is nprobe/k of the index, which is the whole point of IVF.
+    *
+    * The refresh diffs the 16 B/chunk (chunkId, h) sig pairs against the
+    * embedding table — never vectors, never text. Affected units are
+    * CELLS: a changed chunk dirties the cell its old vector lived in and
+    * the cell its new vector lands in; both partitions are rebuilt from
+    * (still-valid old members — a partition-PRUNED read — union the
+    * re-assigned new rows, whose vectors are fetched via ubucket pruning
+    * on the embedding table). A codebook REFIT invalidates every
+    * assignment and rebuilds the table wholesale; its stamp lives INSIDE
+    * the lists dir (table and stamp live and die together — index
+    * rebuilds rewrite the main manifest with a fresh map, and losing a
+    * manifest key must only ever cost the cheap diff, never a wholesale
+    * reassignment). Assignment arithmetic is
+    * [[graft.query.Ann.assignCell]] — the same function the serving-time
+    * fallback pass uses, so persisted and on-the-fly cells cannot drift.
+    */
+  def refreshCells(spark: SparkSession, out: IndexPaths): Unit = {
+    import spark.implicits._
+    val fp = codebookFingerprint(spark, out)
+    require(fp.nonEmpty, "refreshCells needs a fitted codebook")
+    val m = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
+    val embSnap = m.getOrElse("emb_snapshot", "")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cdir = new org.apache.hadoop.fs.Path(cellsDir(out))
+    val fs = cdir.getFileSystem(conf)
+    val metaPath = s"${cellsDir(out)}/_meta.json"
+    val storedFp = TableIO.readManifest(metaPath)
+      .flatMap(_.get("codebook_fp")).getOrElse("")
+    val fresh = fs.exists(cdir) && storedFp == fp &&
+      m.get("cells_snapshot").contains(embSnap)
+    if (fresh) return
+
+    val cents = loadCodebook(spark, out)
+    val bc = spark.sparkContext.broadcast(cents)
+    val cellUdf = udf((e: Seq[Float]) => graft.query.Ann.assignCell(bc.value, e))
+    def assignFrame(embSlice: DataFrame): DataFrame = embSlice
+      .filter(col("embedding").isNotNull)
+      .select(col("chunkId"), col("h"), col("embedding"),
+        cellUdf(col("embedding")).as("cell"))
+    // keep the clustered write parallel without unbounded small files:
+    // one dir per cell, at most `salt` writers (and files) per dir
+    val shufP = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val salt = math.max(1, shufP / math.max(1, cents.length))
+    def writeLists(df: DataFrame, dynamic: Boolean): Unit = {
+      val keys = Seq(col("cell")) ++
+        (if (salt > 1) Seq(pmod(xxhash64(col("chunkId")), lit(salt))) else Nil)
+      val w = df.repartition(cents.length * salt, keys: _*)
+        .write.mode(SaveMode.Overwrite)
+      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+        .partitionBy("cell").parquet(cellsDir(out))
+    }
+
+    val emb = spark.read.parquet(dir(out))
+    val fullRebuild = !fs.exists(cdir) || storedFp != fp
+    if (fullRebuild) {
+      writeLists(assignFrame(emb), dynamic = false)
+    } else {
+      // sig-pair diff, both sides narrow column-pruned scans
+      val lists = spark.read.parquet(cellsDir(out))
+      val embPairs = emb.select(col("chunkId"), col("h"),
+        col("ubucket").cast("int").as("ubucket"))
+      // new/changed pairs: re-assign — vector fetch pruned to their ubuckets
+      val newPairs = embPairs
+        .join(lists.select("chunkId", "h"), Seq("chunkId", "h"), "left_anti")
+        .localCheckpoint(true)
+      val newU = newPairs.select(col("ubucket")).distinct().as[Int].collect().toSeq
+      val newRows = if (newU.isEmpty) null else assignFrame(
+        emb.filter(col("ubucket").isin(newU: _*))
+          .join(newPairs.select("chunkId", "h"), Seq("chunkId", "h"), "left_semi"))
+        .localCheckpoint(true)
+      // stale rows dirty the cell their old vector lives in
+      val staleCells = lists
+        .join(embPairs.select("chunkId", "h"), Seq("chunkId", "h"), "left_anti")
+        .select(col("cell").cast("int").as("cell"))
+      val newCells = if (newRows == null) staleCells.limit(0)
+        else newRows.select(col("cell"))
+      val affected = staleCells.union(newCells).distinct().as[Int].collect().toSeq
+      if (affected.nonEmpty) {
+        // rebuild affected cells: still-valid old members (partition-pruned
+        // read) + the re-assigned new rows
+        val kept = lists.filter(col("cell").isin(affected: _*))
+          .join(embPairs.select("chunkId", "h"), Seq("chunkId", "h"), "left_semi")
+          .select(col("chunkId"), col("h"), col("embedding"),
+            col("cell").cast("int").as("cell"))
+        val rebuilt = (if (newRows == null) kept else kept.union(newRows))
+          .localCheckpoint(true)
+        for (c <- affected) {
+          val d = new org.apache.hadoop.fs.Path(s"${cellsDir(out)}/cell=$c")
+          if (fs.exists(d)) fs.delete(d, true)
+        }
+        writeLists(rebuilt, dynamic = true)
+      }
+    }
+    bc.destroy()
+    TableIO.writeManifest(metaPath, Map("codebook_fp" -> fp))
+    val m2 = TableIO.readManifest(out.manifest).getOrElse(Map.empty)
+    TableIO.writeManifest(out.manifest, m2 + ("cells_snapshot" -> embSnap))
+  }
+
   // serving memo: one preselector per (index root, kind, snapshot) — the
   // Ann constructors persist their frame, so handing out a fresh instance
   // per call would leak cached blocks on a long-running driver; a snapshot
@@ -193,7 +322,15 @@ object EmbeddingTable {
     val ann: AnnPreselector = kind match {
       case "lsh" => new SparkAnnLsh(spark, emb, provider, nPlanes, probes)
       case "ivf" =>
-        new IvfAnn(spark, emb, codebook(spark, out, ivfK, refitIvf), provider, nprobe)
+        val cb = codebook(spark, out, ivfK, refitIvf)
+        // serve from the persisted, change-proportionally maintained
+        // inverted lists: each query's cell filter is a PARTITION filter
+        // on this scan — nprobe/k of the index read, nothing else
+        refreshCells(spark, out)
+        val pre = spark.read.parquet(cellsDir(out))
+          .select(col("chunkId").as("chunk_id"), col("embedding"),
+            col("cell").cast("int").as("cell"))
+        new IvfAnn(spark, emb, cb, provider, nprobe, Some(pre))
       case _ => new BruteForceAnn(spark, emb, provider)
     }
     annMemo.put(key, (snap, ann))

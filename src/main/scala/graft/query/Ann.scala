@@ -43,6 +43,19 @@ object Ann {
     }
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
+
+  /** Nearest-cell assignment against a (cid-sorted) codebook — ONE
+    * definition shared by the serving-time pass and the persisted-cells
+    * refresh so the two can never drift (ties break to the lowest cid).
+    */
+  def assignCell(cents: Array[(Int, Array[Float])], e: Seq[Float]): Int = {
+    var best = 0; var bestSim = Double.NegativeInfinity
+    for ((cid, ce) <- cents) {
+      val s = cosine(e, ce)
+      if (s > bestSim) { bestSim = s; best = cid }
+    }
+    best
+  }
 }
 
 final class BruteForceAnn(spark: SparkSession, embeddings: DataFrame,
@@ -67,36 +80,40 @@ final class BruteForceAnn(spark: SparkSession, embeddings: DataFrame,
 /** IVF-flat preselector — the third member of the preselect family
   * (brute / LSH / IVF): an offline-fitted codebook ([[graft.query.Ivf]],
   * or any (cid, embedding) frame), every vector assigned ONCE to its
-  * nearest cell (a narrow cached pass — at 10^12 vectors this is the
-  * persisted `cell` partition column of the embeddings table), query-time
-  * candidates limited to the query's `nprobe` nearest cells, exact cosine
-  * only there. The codebook is broadcast-sized (k × dim).
+  * nearest cell, query-time candidates limited to the query's `nprobe`
+  * nearest cells, exact cosine only there. The codebook is
+  * broadcast-sized (k × dim).
+  *
+  * `preAssigned` (a (chunk_id, embedding, cell) frame) skips the
+  * serving-time assignment pass entirely — at 10^12 vectors that is the
+  * PERSISTED cells side table ([[graft.index.EmbeddingTable.refreshCells]]),
+  * maintained change-proportionally at index-update time, so constructing
+  * a preselector never scans the corpus.
   */
 final class IvfAnn(spark: SparkSession, embeddings: DataFrame,
                    centroids: DataFrame, provider: EmbeddingProvider,
-                   nprobe: Int = 2) extends AnnPreselector {
+                   nprobe: Int = 2,
+                   preAssigned: Option[DataFrame] = None) extends AnnPreselector {
   import spark.implicits._
   private val cents: Array[(Int, Array[Float])] = centroids
     .select("cid", "embedding").as[(Int, Seq[Float])].collect()
     .map { case (cid, e) => (cid, e.toArray) }
     .sortBy(_._1)
 
-  // one narrow assignment pass, cached; cell-pruned thereafter. The udf
-  // captures the LOCAL codebook array — capturing `this` would drag the
-  // (non-serializable) SparkSession into the task closure.
-  private val assigned = {
-    val cs = cents
-    val cellUdf = udf((e: Seq[Float]) => {
-      var best = 0; var bestSim = Double.NegativeInfinity
-      for ((cid, ce) <- cs) {
-        val s = Ann.cosine(e, ce)
-        if (s > bestSim) { bestSim = s; best = cid }
-      }
-      best
-    })
-    embeddings.select(col("chunk_id"), col("embedding"))
-      .withColumn("cell", cellUdf(col("embedding")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  // Fallback path: one narrow assignment pass, cached; cell-pruned
+  // thereafter. The udf captures the LOCAL codebook array — capturing
+  // `this` would drag the (non-serializable) SparkSession into the task
+  // closure. A preAssigned frame is NOT persisted: it is a cell-partitioned
+  // parquet scan, and persisting it would materialize the whole corpus
+  // where the per-query cell filter otherwise prunes to nprobe partitions.
+  private val assigned = preAssigned match {
+    case Some(pre) => pre.select("chunk_id", "embedding", "cell")
+    case None =>
+      val cs = cents
+      val cellUdf = udf((e: Seq[Float]) => Ann.assignCell(cs, e))
+      embeddings.select(col("chunk_id"), col("embedding"))
+        .withColumn("cell", cellUdf(col("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   override def preselect(query: String, topn: Int): Seq[Long] =

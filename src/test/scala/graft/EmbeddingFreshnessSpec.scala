@@ -34,16 +34,17 @@ class EmbeddingFreshnessSpec extends AnyFunSuite {
   private def pagesA = WebPages.generate(spark, 120, seed = 7, partitions = 4)
     .map(p => PageDoc(p.url, 1, p.text, None))
 
-  private def filesByU(root: String): Map[Int, Set[(String, Long)]] = {
+  private def filesBy(root: String, key: String): Map[Int, Set[(String, Long)]] = {
     val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
     try s.iterator().asScala
       .filter(_.toString.endsWith(".parquet"))
       .map { p =>
-        val u = "ubucket=(\\d+)".r.findFirstMatchIn(p.toString).get.group(1).toInt
+        val u = s"$key=(\\d+)".r.findFirstMatchIn(p.toString).get.group(1).toInt
         u -> ((p.toString, java.nio.file.Files.size(p)))
       }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     finally s.close()
   }
+  private def filesByU(root: String) = filesBy(root, "ubucket")
 
   test("re-crawl replaces exactly the changed doc's vectors; untouched partitions byte-identical") {
     val out = IndexPaths(
@@ -125,10 +126,30 @@ class EmbeddingFreshnessSpec extends AnyFunSuite {
       finally s.close()
     }
     val fitted = cbFiles
+    // the inverted-lists table is persisted, partitioned BY CELL —
+    // a probe read is a partition-pruned scan
+    val listsDir = EmbeddingTable.cellsDir(out)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(listsDir)),
+      "persisted inverted-lists table missing")
+    val listsBefore = filesBy(listsDir, "cell")
+    assert(spark.read.parquet(listsDir).count() ==
+      spark.read.parquet(out.chunks).count())
+    // remember where every chunk of the target url lived pre-update
+    val targetUrl = pagesA.select("url").as[String].orderBy("url").head()
+    def urlPairCells(): Map[(Long, Long), Int] = {
+      val ids = spark.read.parquet(out.chunks)
+        .filter(col("source") === targetUrl).select("chunkId").as[Long]
+        .collect().toSet
+      spark.read.parquet(listsDir)
+        .filter(col("chunkId").isin(ids.toSeq: _*))
+        .select(col("chunkId"), col("h"), col("cell").cast("int"))
+        .as[(Long, Long, Int)].collect()
+        .map { case (id, h, c) => (id, h) -> c }.toMap
+    }
+    val beforePairs = urlPairCells()
 
     // snapshot churn: the coarse quantizer is reused (assignments are
     // per-snapshot, the codebook is offline-cadence like FAISS retraining)
-    val targetUrl = pagesA.select("url").as[String].orderBy("url").head()
     val pagesB = pagesA.map(p =>
       if (p.url == targetUrl) p.copy(text = p.text + " ivf drift sentinel") else p)
     ResumableBuild.incrementalUpdate(spark, pagesB,
@@ -139,12 +160,43 @@ class EmbeddingFreshnessSpec extends AnyFunSuite {
     assert(EmbeddingTable.isFresh(spark, out))
     val brute2 = EmbeddingTable.annFor(spark, out, HashProvider)
     assert(ivf2.preselect(q, 10) == brute2.preselect(q, 10),
-      "post-update IVF serving diverged from brute over the refreshed table")
+      "post-update IVF serving diverged from brute over the refreshed lists")
+    // list maintenance was change-proportional at the CELL grain: dirty
+    // cells = where the url's STALE (chunkId, h) pairs lived ∪ where its
+    // ADDED pairs landed — unchanged chunks of the re-crawled url dirty
+    // nothing; every other cell partition is byte-identical
+    val afterPairs = urlPairCells()
+    val listsAfter = filesBy(listsDir, "cell")
+    val dirty = (beforePairs.keySet -- afterPairs.keySet).map(beforePairs) ++
+      (afterPairs.keySet -- beforePairs.keySet).map(afterPairs)
+    assert(dirty.nonEmpty)
+    for (c <- listsBefore.keySet -- dirty)
+      assert(listsAfter.get(c).contains(listsBefore(c)),
+        s"cell partition $c holds no chunk of the changed url but was rewritten")
+    for (c <- dirty)
+      assert(listsAfter.getOrElse(c, Set.empty) != listsBefore.getOrElse(c, Set.empty),
+        s"dirty cell partition $c kept its old files")
+    // coverage survives the update
+    assert(spark.read.parquet(listsDir).count() ==
+      spark.read.parquet(out.chunks).count())
+
+    // a forced refit invalidates every assignment: cells rebuilt wholesale,
+    // serving equality preserved
+    val ivf3 = EmbeddingTable.annFor(spark, out, HashProvider,
+      kind = "ivf", ivfK = 4, nprobe = 4, refitIvf = true)
+    assert(cbFiles != fitted, "refitIvf=true must rewrite the codebook")
+    assert(ivf3.preselect(q, 10) == brute2.preselect(q, 10))
 
     // cell pruning actually engages at nprobe < k and still returns rows
     val pruned = EmbeddingTable.annFor(spark, out, HashProvider,
       kind = "ivf", ivfK = 4, nprobe = 1)
     assert(pruned.preselect(q, 5).nonEmpty)
+    // and the probe read is a PARTITION filter on the lists scan — a
+    // directory prune, not a full-scan-then-filter
+    val probeScan = spark.read.parquet(listsDir).filter(col("cell").isin(0, 1))
+    val planStr = probeScan.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(planStr).nonEmpty,
+      s"cell filter did not reach the scan as a partition filter:\n$planStr")
   }
 
   test("removed urls evict their vectors on refresh") {
