@@ -232,25 +232,25 @@ object EmbeddingTable {
     // keep the clustered write parallel without unbounded small files:
     // one dir per cell, at most `salt` writers (and files) per dir
     val shufP = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val salt = math.max(1, shufP / math.max(1, cents.length))
-    def writeLists(df: DataFrame, dynamic: Boolean): Unit = {
-      val keys = Seq(col("cell")) ++
-        (if (salt > 1) Seq(pmod(xxhash64(col("chunkId")), lit(salt))) else Nil)
-      val w = df.repartition(cents.length * salt, keys: _*)
-        .write.mode(SaveMode.Overwrite)
-      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
-        .partitionBy("cell").parquet(cellsDir(out))
-    }
+    def writeLists(df: DataFrame, dynamic: Boolean): Unit =
+      TableIO.saltedPartitionWrite(df, Seq("cell"), cents.length,
+        col("chunkId"), shufP, cellsDir(out), dynamic)
 
     val emb = spark.read.parquet(dir(out))
     val fullRebuild = !fs.exists(cdir) || storedFp != fp
     if (fullRebuild) {
       writeLists(assignFrame(emb), dynamic = false)
     } else {
-      // sig-pair diff, both sides narrow column-pruned scans
+      // sig-pair diff, both sides narrow column-pruned scans. Null-
+      // embedding rows (kept in the embedding table by design) never
+      // enter the lists, so they must not enter the diff either — else
+      // every refresh re-flags them as "new" and the change-proportional
+      // path decays toward corpus-proportional (the exact failure
+      // embedFrame's doc comment warns about).
       val lists = spark.read.parquet(cellsDir(out))
-      val embPairs = emb.select(col("chunkId"), col("h"),
-        col("ubucket").cast("int").as("ubucket"))
+      val embPairs = emb.filter(col("embedding").isNotNull)
+        .select(col("chunkId"), col("h"),
+          col("ubucket").cast("int").as("ubucket"))
       // new/changed pairs: re-assign — vector fetch pruned to their ubuckets
       val newPairs = embPairs
         .join(lists.select("chunkId", "h"), Seq("chunkId", "h"), "left_anti")
@@ -303,6 +303,15 @@ object EmbeddingTable {
     * the preselect family: "brute" (exact, the baseline), "lsh"
     * (hyperplane-bucketed), or "ivf" (cell-pruned over the persisted
     * codebook — the 10^12-vector scale path).
+    *
+    * `ivfK` is a FIT-TIME parameter: once a codebook exists it wins, and
+    * a different requested k does not refit (serving geometry — cell
+    * count, probe fractions — always reflects the PERSISTED codebook,
+    * which [[IvfAnn]] reads as rows; pass `refitIvf = true` to re-train
+    * at the new k). The memo key carries only the parameters the chosen
+    * kind consumes, plus — for ivf — the codebook fingerprint, so a
+    * refit can never serve a memoized preselector holding the old
+    * centroids or a file index over the overwritten lists.
     */
   def annFor(spark: SparkSession, out: IndexPaths, provider: EmbeddingProvider,
              kind: String = "brute", nPlanes: Int = 16, probes: Int = 16,
@@ -311,29 +320,34 @@ object EmbeddingTable {
     require(Set("brute", "lsh", "ivf")(kind), s"unknown ANN kind: $kind")
     refresh(spark, out, provider)
     val snap = indexSnapshot(out).getOrElse("")
-    val key = (out.root, s"$kind/$nPlanes/$probes/$ivfK/$nprobe")
-    if (!refitIvf) {
-      val cur = annMemo.get(key)
-      if (cur != null && cur._1 == snap) return cur._2
-    }
-    val emb = spark.read.parquet(dir(out))
+    def emb = spark.read.parquet(dir(out))
       .filter(col("embedding").isNotNull)
       .select(col("chunkId").as("chunk_id"), col("embedding"))
-    val ann: AnnPreselector = kind match {
-      case "lsh" => new SparkAnnLsh(spark, emb, provider, nPlanes, probes)
+    def memoized(key: (String, String))(mk: => AnnPreselector): AnnPreselector = {
+      val cur = annMemo.get(key)
+      if (cur != null && cur._1 == snap) cur._2
+      else { val a = mk; annMemo.put(key, (snap, a)); a }
+    }
+    kind match {
+      case "lsh" =>
+        memoized((out.root, s"lsh/$nPlanes/$probes")) {
+          new SparkAnnLsh(spark, emb, provider, nPlanes, probes)
+        }
       case "ivf" =>
         val cb = codebook(spark, out, ivfK, refitIvf)
-        // serve from the persisted, change-proportionally maintained
-        // inverted lists: each query's cell filter is a PARTITION filter
-        // on this scan — nprobe/k of the index read, nothing else
-        refreshCells(spark, out)
-        val pre = spark.read.parquet(cellsDir(out))
-          .select(col("chunkId").as("chunk_id"), col("embedding"),
-            col("cell").cast("int").as("cell"))
-        new IvfAnn(spark, emb, cb, provider, nprobe, Some(pre))
-      case _ => new BruteForceAnn(spark, emb, provider)
+        val fp = codebookFingerprint(spark, out)
+        memoized((out.root, s"ivf/$nprobe/$fp")) {
+          // serve from the persisted, change-proportionally maintained
+          // inverted lists: each query's cell filter is a PARTITION
+          // filter on this scan — nprobe/k of the index read, nothing else
+          refreshCells(spark, out)
+          val pre = spark.read.parquet(cellsDir(out))
+            .select(col("chunkId").as("chunk_id"), col("embedding"),
+              col("cell").cast("int").as("cell"))
+          new IvfAnn(spark, emb, cb, provider, nprobe, Some(pre))
+        }
+      case _ =>
+        memoized((out.root, "brute")) { new BruteForceAnn(spark, emb, provider) }
     }
-    annMemo.put(key, (snap, ann))
-    ann
   }
 }

@@ -261,20 +261,12 @@ object IndexBuilder {
     if (parts.isEmpty) df.write.mode(SaveMode.Overwrite).parquet(out.chunks)
     else {
       val nDirs = math.max(cfg.nUrlBuckets, 1) * math.max(nCb, 1)
-      // clustered write, but never at the expense of parallelism: with few
-      // partition dirs (a 4-shard corpus writes 4 cbucket dirs) a plain
-      // repartition(nDirs, cols) funnels the whole table through nDirs
-      // writer tasks. A chunkId salt inside the clustering key spreads
-      // each dir over `salt` writers — file count stays bounded at
-      // `salt` per dir (vs tasks × dirs unclustered), wall time stays
-      // parallel.
-      val salt = math.max(1, cfg.shufflePartitions / nDirs)
-      val keys = parts.toSeq.map(col) ++
-        (if (salt > 1) Seq(pmod(xxhash64(col("chunkId")), lit(salt))) else Nil)
-      val w = df.repartition(nDirs * salt, keys: _*)
-        .write.mode(SaveMode.Overwrite)
-      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
-        .partitionBy(parts.toSeq: _*).parquet(out.chunks)
+      // clustered + salted write (shared helper; the seed matters here —
+      // cbucket IS pmod(xxhash64(chunkId), nCb), so an unseeded chunkId
+      // salt would be functionally dependent on it and collapse the
+      // commit back to nDirs writer tasks)
+      TableIO.saltedPartitionWrite(df, parts.toSeq, nDirs, col("chunkId"),
+        cfg.shufflePartitions, out.chunks, dynamic)
     }
   }
 

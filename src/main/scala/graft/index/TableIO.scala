@@ -2,6 +2,8 @@ package graft.index
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** Thin snapshot/manifest seam (SURVEY §7.5): the sandbox has no Iceberg
   * runtime, so snapshot metadata, lineage, and per-partition checkpoints are
@@ -17,6 +19,30 @@ import scala.jdk.CollectionConverters._
   * existence checks around them are already cluster-addressable.
   */
 object TableIO {
+
+  /** Clustered `partitionBy` write that never trades parallelism away:
+    * the frame is clustered on the partition columns (an unclustered
+    * partitionBy write opens tasks × dirs parquet writers) PLUS a bounded
+    * salt, so each of the `nDirs` partition dirs is spread over at most
+    * `salt` writer tasks / files and the commit stays parallel even when
+    * nDirs < shufflePartitions. The salt hash is SEEDED (extra lit
+    * column): an unseeded `pmod(xxhash64(x), salt)` is functionally
+    * dependent on any partition key derived as `pmod(xxhash64(x), n)`
+    * from the same column whenever the moduli share factors — the
+    * power-of-two common case — which silently collapses the write back
+    * to nDirs tasks. `dynamic` = overwrite only the partitions present
+    * in the frame (the incremental contract).
+    */
+  def saltedPartitionWrite(df: DataFrame, partCols: Seq[String], nDirs: Int,
+                           saltSrc: Column, shufflePartitions: Int,
+                           dest: String, dynamic: Boolean): Unit = {
+    val salt = math.max(1, shufflePartitions / math.max(1, nDirs))
+    val keys = partCols.map(col) ++
+      (if (salt > 1) Seq(pmod(xxhash64(lit("salt"), saltSrc), lit(salt))) else Nil)
+    val w = df.repartition(nDirs * salt, keys: _*).write.mode(SaveMode.Overwrite)
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy(partCols: _*).parquet(dest)
+  }
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""

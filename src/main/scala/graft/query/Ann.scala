@@ -111,7 +111,10 @@ final class IvfAnn(spark: SparkSession, embeddings: DataFrame,
     case None =>
       val cs = cents
       val cellUdf = udf((e: Seq[Float]) => Ann.assignCell(cs, e))
-      embeddings.select(col("chunk_id"), col("embedding"))
+      // the on-disk embedding table keeps null-embedding rows by design —
+      // they carry no vector to assign or score
+      embeddings.filter(col("embedding").isNotNull)
+        .select(col("chunk_id"), col("embedding"))
         .withColumn("cell", cellUdf(col("embedding")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
