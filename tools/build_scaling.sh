@@ -37,7 +37,9 @@ run_build() { # cores heap localdir ixdir logfile
     graft.GraftCli directbuild "$ixdir" "$NPAGES" >"$log" 2>&1
 }
 
-extract_secs() { grep -o 'directbuild .* in [0-9.]*s' "$1" | grep -o '[0-9.]*s' | tr -d s; }
+# NB: match "in <secs>s" specifically — a bare '[0-9.]*s' also matches the
+# zero-digit "s" inside "chunks", yielding a spurious empty first line
+extract_secs() { grep -o 'directbuild .* in [0-9.]*s' "$1" | grep -o 'in [0-9.]*s' | sed 's/^in //; s/s$//'; }
 
 BASE=/dev/shm/graft-scalx
 rm -rf "$BASE"; mkdir -p "$BASE"
