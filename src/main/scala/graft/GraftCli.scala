@@ -246,15 +246,25 @@ object GraftCli {
           "posting block compression", "checkpoint lineage executor",
           "index build throughput")
         Pipeline.searchTopK(backend, qs.head, PipelineConfig()) // warm
-        val lat = qs.map { q =>
-          val t0 = System.nanoTime()
-          Pipeline.searchTopK(backend, q, PipelineConfig())
-          (q, (System.nanoTime() - t0) / 1e9)
+        // SPARK_GRAFT_QBENCH_REPS > 1: repeat the whole set and report the
+        // best total (the scaling probes compare set-throughput, where
+        // single-shot per-query numbers are too noisy to divide)
+        val qreps = sys.env.getOrElse("SPARK_GRAFT_QBENCH_REPS", "1").toInt
+        var lat: Seq[(String, Double)] = Nil
+        var bestTotal = Double.MaxValue
+        for (_ <- 1 to math.max(1, qreps)) {
+          val run = qs.map { q =>
+            val t0 = System.nanoTime()
+            Pipeline.searchTopK(backend, q, PipelineConfig())
+            (q, (System.nanoTime() - t0) / 1e9)
+          }
+          val total = run.map(_._2).sum
+          if (total < bestTotal) { bestTotal = total; lat = run }
         }
         lat.foreach { case (q, s) => println(f"[graft] $s%6.2fs  $q") }
         val sorted = lat.map(_._2).sorted
         println(f"[graft] qbench p50=${sorted(sorted.length / 2)}%.2fs " +
-          f"max=${sorted.last}%.2fs")
+          f"max=${sorted.last}%.2fs total=$bestTotal%.2fs")
       case "scaleprobe" =>
         // alternating local[N]/local[4N] sessions in one JVM; best-of-k of a
         // map-only (chunk+tokenize) job and the full index build
@@ -332,24 +342,29 @@ object GraftCli {
         val pages = WebPages.generate(spark, nPages, 42,
           spark.sparkContext.defaultParallelism * 2)
           .map(p => PageDoc(p.url, 1, p.text, None))
+        // experiment knobs: posting-block codec and doc-shard count for A/Bs
+        // (the query-scaling probe needs more WAND shards than the 60k-page
+        // auto-resolution's 4, or >4 cores have nothing to parallelize)
+        val buildCfg = BuildConfig(
+          shufflePartitions =
+            BuildConfig.shufflePartitionsFor(spark.sparkContext.defaultParallelism),
+          postingCodec = sys.env.getOrElse("SPARK_GRAFT_POSTING_CODEC",
+            graft.index.Codec.Vbyte),
+          nDocShards = sys.env.getOrElse("SPARK_GRAFT_DOC_SHARDS", "0").toInt)
         // same-shape warm-up then timed direct build; SPARK_GRAFT_BUILD_REPS
         // > 1 repeats the timed build and reports the best (a cold JVM's
         // first full build pays JIT compilation — repetitions measure the
         // steady state the in-JVM scaling baselines run at)
         IndexBuilder.build(spark,
           graft.corpus.ChunkerJob.chunk(pages.limit(1000), ChunkerConfig()),
-          IndexPaths(s"${paths.root}-warm"),
-          BuildConfig(shufflePartitions =
-            BuildConfig.shufflePartitionsFor(spark.sparkContext.defaultParallelism)))
+          IndexPaths(s"${paths.root}-warm"), buildCfg)
         val reps = sys.env.getOrElse("SPARK_GRAFT_BUILD_REPS", "1").toInt
         var best = Double.MaxValue
         var lastStats: graft.index.GlobalStats = null
         for (_ <- 1 to math.max(1, reps)) {
           val t0 = System.nanoTime()
           lastStats = IndexBuilder.build(spark,
-            graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()), paths,
-            BuildConfig(shufflePartitions =
-            BuildConfig.shufflePartitionsFor(spark.sparkContext.defaultParallelism)))
+            graft.corpus.ChunkerJob.chunk(pages, ChunkerConfig()), paths, buildCfg)
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         }
         println(f"[graft] directbuild ${lastStats.nDocs} chunks in $best%.1fs " +

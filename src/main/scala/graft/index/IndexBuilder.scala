@@ -48,6 +48,11 @@ case class GlobalStats(nDocs: Long, totalTokens: Long, avgdl: Double,
                          * only gate pruning). Full builds reset this to
                          * avgdl. */
                        minBlockAvgdl: Double,
+                       /** posting-block byte layout every block of this
+                         * index was written with ("vbyte" | "for"); in
+                         * configHash, so an incremental update can never
+                         * mix layouts within one blocks table */
+                       postingCodec: String,
                        configHash: String, snapshotId: String)
 
 case class BuildConfig(
@@ -85,10 +90,22 @@ case class BuildConfig(
       * a layout change invalidates the partial-overwrite contract.
       */
     nUrlBuckets: Int = 0,
+    /** posting-block compression ("vbyte" | "for"). FOR bit-packs each
+      * block's gaps/tfs/dls at one shared width — smaller blocks and a
+      * branch-free decode loop on the WAND serving hot path (BENCH.md
+      * round-5 A/B). Layout contract: part of configHash, so switching
+      * codecs forces a full rebuild instead of an incremental update
+      * writing mixed-layout shards.
+      */
+    postingCodec: String = Codec.Vbyte,
     shufflePartitions: Int = 32) {
+  require(Codec.Codecs(postingCodec), s"unknown postingCodec: $postingCodec")
   def configHash: String =
     Analyzer.md5Hex(
-      s"$k1|$b|$epsilon|$nTermBuckets|$nDocShards|$blockSize|$nUrlBuckets|$nChunkBuckets")
+      s"$k1|$b|$epsilon|$nTermBuckets|$nDocShards|$blockSize|$nUrlBuckets|$nChunkBuckets" +
+        // pre-r5 hash compat: the default codec keeps the r4 hash string,
+        // so existing vbyte indexes stay incrementally updatable
+        (if (postingCodec == Codec.Vbyte) "" else s"|$postingCodec"))
 
   def resolveDocShards(nDocs: Long): Int =
     if (nDocShards > 0) nDocShards
@@ -316,6 +333,7 @@ object IndexBuilder {
       : Dataset[BlockRow] = {
     import spark.implicits._
     val k1 = cfg.k1; val b = cfg.b; val blockSize = cfg.blockSize
+    val codec = cfg.postingCodec
     val withShard = postings(chunksDF.as[ChunkRow])
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(cfg.nTermBuckets)).cast("int"))
       .withColumn("shard", pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int"))
@@ -336,7 +354,7 @@ object IndexBuilder {
       var nBytes = 0L
       def flush(): Unit = if (curKey != null && ids.nonEmpty) {
         val bs = Codec.buildBlocks(ids.toArray, tfs.toArray, dls.toArray,
-          norms.toArray, blockSize)
+          norms.toArray, blockSize, codec)
         bs.zipWithIndex.foreach { case (blk, i) =>
           nBytes += blk.docs.length + blk.tfs.length + blk.dls.length
           out += BlockRow(curKey._1, curKey._2, curKey._3, i, blk.n, blk.docs,
@@ -507,7 +525,7 @@ object IndexBuilder {
     val snapshotId = Analyzer.md5Hex(s"$nDocs|$totalTokens|${cfg.configHash}")
     val stats = GlobalStats(nDocs, totalTokens, avgdl, vocabSize, avgRawIdf, eps,
       maxStaticBonus, cfg.k1, cfg.b, cfg.nTermBuckets, nShards, nCb, avgdl,
-      cfg.configHash, snapshotId)
+      cfg.postingCodec, cfg.configHash, snapshotId)
     Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(out.globalStats)
     TableIO.writeManifest(out.manifest, Map(
       "snapshot_id" -> snapshotId, "n_docs" -> nDocs.toString,
@@ -543,6 +561,8 @@ object IndexBuilder {
       df = df.withColumn("nChunkBuckets", lit(0))
     if (!df.columns.contains("minBlockAvgdl"))
       df = df.withColumn("minBlockAvgdl", lit(0.0))
+    if (!df.columns.contains("postingCodec"))
+      df = df.withColumn("postingCodec", lit(Codec.Vbyte))
     df.as[GlobalStats].head()
   }
 
@@ -772,7 +792,7 @@ object IndexBuilder {
           avgdl))
       val stats = GlobalStats(nDocs, totalTokens, avgdl, vocabSize, avgRawIdf,
         eps, maxStaticBonus, cfg.k1, cfg.b, cfg.nTermBuckets, nShards, nCb,
-        minBlockAvgdl, cfg.configHash, snapshotId)
+        minBlockAvgdl, cfg.postingCodec, cfg.configHash, snapshotId)
       Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(out.globalStats)
       TableIO.writeManifest(out.manifest, Map(
         "snapshot_id" -> snapshotId, "parent_snapshot" -> prev.snapshotId,

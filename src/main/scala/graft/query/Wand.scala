@@ -24,7 +24,7 @@ object Wand {
 
   private final class Cursor(val weight: Double, blocks: IndexedSeq[BlockRow],
                              k1: Double, b: Double, avgdl: Double,
-                             boundScale: Double) {
+                             boundScale: Double, codec: String) {
     // A term with negative weight (the BM25Okapi negative-eps floor on a
     // stopword-dense corpus) can only lower a doc's score; its valid upper
     // bound for pivot pruning is 0, not weight*maxTfNorm. boundScale
@@ -47,9 +47,9 @@ object Wand {
         val blk = blocks(bi)
         val cb = Codec.Block(blk.docs, blk.tfs, blk.dls, blk.n, blk.maxTfNorm,
           blk.firstDoc, blk.lastDoc)
-        docs = Codec.decodeBlockDocs(cb)
-        tfs = Codec.decodeBlockTfs(cb)
-        dls = Codec.decodeBlockDls(cb)
+        docs = Codec.decodeBlockDocs(cb, codec)
+        tfs = Codec.decodeBlockTfs(cb, codec)
+        dls = Codec.decodeBlockDls(cb, codec)
         di = 0
       } else { docs = null }
     }
@@ -90,11 +90,12 @@ object Wand {
   def wandShard(blocksByTerm: Map[String, IndexedSeq[BlockRow]],
                 termOrder: IndexedSeq[String], termWeights: Map[String, Double],
                 k: Int, k1: Double, b: Double, avgdl: Double,
-                boundScale: Double = 1.0): Seq[(Long, Double)] = {
+                boundScale: Double = 1.0,
+                codec: String = Codec.Vbyte): Seq[(Long, Double)] = {
     val cursors: Array[Cursor] = termOrder.iterator
       .filter(t => blocksByTerm.contains(t) && termWeights.getOrElse(t, 0.0) != 0.0)
       .map(t => new Cursor(termWeights(t),
-        blocksByTerm(t).sortBy(_.blockId), k1, b, avgdl, boundScale))
+        blocksByTerm(t).sortBy(_.blockId), k1, b, avgdl, boundScale, codec))
       .filter(!_.exhausted)
       .toArray
     if (cursors.isEmpty || k <= 0) return Nil
@@ -183,6 +184,7 @@ object Wand {
     // under the old (possibly smaller) avgdl — scale bounds to stay valid
     val boundScale =
       if (stats.minBlockAvgdl > 0) math.max(1.0, avgdl / stats.minBlockAvgdl) else 1.0
+    val codec = stats.postingCodec
 
     val blocks = spark.read.parquet(paths.blocks)
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(liveTerms: _*))
@@ -200,7 +202,7 @@ object Wand {
           scala.collection.mutable.ArrayBuffer.empty[BlockRow]) += r
       }
       wandShard(byTerm.view.mapValues(_.toIndexedSeq).toMap,
-        termOrder, weights, k, k1, b, avgdl, boundScale)
+        termOrder, weights, k, k1, b, avgdl, boundScale, codec)
     }.collect()
 
     perShard.iterator.flatten.toSeq

@@ -55,9 +55,9 @@ class PropertySpec extends AnyFunSuite {
     samples(gen, 150).foreach { case (ids, tfs, dls) =>
       val norms = tfs.map(_.toDouble)
       val blocks = Codec.buildBlocks(ids, tfs, dls, norms, blockSize = 64)
-      assert(blocks.flatMap(Codec.decodeBlockDocs).toSeq == ids.toSeq)
-      assert(blocks.flatMap(Codec.decodeBlockTfs).toSeq == tfs.toSeq)
-      assert(blocks.flatMap(Codec.decodeBlockDls).toSeq == dls.toSeq)
+      assert(blocks.flatMap(Codec.decodeBlockDocs(_)).toSeq == ids.toSeq)
+      assert(blocks.flatMap(Codec.decodeBlockTfs(_)).toSeq == tfs.toSeq)
+      assert(blocks.flatMap(Codec.decodeBlockDls(_)).toSeq == dls.toSeq)
       blocks.foreach { b =>
         val d = Codec.decodeBlockDocs(b)
         assert(b.firstDoc == d.head && b.lastDoc == d.last)
