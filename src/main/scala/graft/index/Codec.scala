@@ -209,13 +209,10 @@ object Codec {
           d |= last << got
           got += 8
         }
-        val excess = got - width // < 8: the loop exits on its first crossing
-        if (got == accBits) {
-          // the leftover alone covered this value (width < accBits < 8)
-          acc = d >>> width
-        } else {
-          acc = if (excess == 0) 0L else last >>> (8 - excess)
-        }
+        // excess < 8: width >= 57 > accBits, so the read loop always ran and
+        // exited on its first crossing; the leftover bits all sit in `last`
+        val excess = got - width
+        acc = if (excess == 0) 0L else last >>> (8 - excess)
         accBits = excess
         out(i) = base + (d & mask)
         i += 1
@@ -283,7 +280,9 @@ object Codec {
   def buildBlocks(docIds: Array[Long], tfs: Array[Long], dls: Array[Long],
                   tfNorms: Array[Double],
                   blockSize: Int = DefaultBlockSize,
-                  codec: String = Vbyte): Seq[Block] = {
+                  // no default: a call site that forgets the codec must fail
+                  // to compile, not silently vbyte-decode FOR bytes
+                  codec: String): Seq[Block] = {
     require(docIds.length == tfs.length && docIds.length == dls.length &&
       docIds.length == tfNorms.length)
     val blocks = new ArrayBuffer[Block]
@@ -303,10 +302,12 @@ object Codec {
     blocks.toSeq
   }
 
-  def decodeBlockDocs(b: Block, codec: String = Vbyte): Array[Long] =
+  // no codec defaults: a call site that forgets to thread the index's codec
+  // must fail to compile, not silently vbyte-decode FOR bytes
+  def decodeBlockDocs(b: Block, codec: String): Array[Long] =
     decode(codec, b.docs, b.n, deltas = true)
-  def decodeBlockTfs(b: Block, codec: String = Vbyte): Array[Long] =
+  def decodeBlockTfs(b: Block, codec: String): Array[Long] =
     decode(codec, b.tfs, b.n, deltas = false)
-  def decodeBlockDls(b: Block, codec: String = Vbyte): Array[Long] =
+  def decodeBlockDls(b: Block, codec: String): Array[Long] =
     decode(codec, b.dls, b.n, deltas = false)
 }

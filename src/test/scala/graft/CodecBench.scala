@@ -18,7 +18,10 @@ object CodecBench {
       ("dense gaps (df~1e9)", 1L << 34))
     for ((name, gapScale) <- shapes) {
       val n = 128
-      var cur = rng.nextLong()
+      // >>> 2 keeps cur + 128 * gapScale below Long.MaxValue: accumulation
+      // must never wrap signed-negative or forEncode's monotonicity require
+      // would trip on an unrelated seed/shape edit
+      var cur = rng.nextLong() >>> 2
       val ids = Array.fill(n) { cur += (rng.nextDouble() * gapScale).toLong.max(1); cur }
       val tfs = Array.fill(n)((rng.nextInt(7) + 1).toLong)
       val dls = Array.fill(n)((rng.nextInt(90) + 10).toLong)

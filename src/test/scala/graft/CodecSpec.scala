@@ -35,10 +35,10 @@ class CodecSpec extends AnyFunSuite {
       val tfs = Array.tabulate(n)(i => (i % 7 + 1).toLong)
       val dls = Array.tabulate(n)(i => (i % 90 + 10).toLong)
       val norms = Array.tabulate(n)(i => tfs(i).toDouble / (tfs(i) + dls(i)))
-      val blocks = Codec.buildBlocks(ids, tfs, dls, norms, blockSize = 64)
-      assert(blocks.flatMap(Codec.decodeBlockDocs(_)) == ids.toSeq)
-      assert(blocks.flatMap(Codec.decodeBlockTfs(_)) == tfs.toSeq)
-      assert(blocks.flatMap(Codec.decodeBlockDls(_)) == dls.toSeq)
+      val blocks = Codec.buildBlocks(ids, tfs, dls, norms, blockSize = 64, codec = Codec.Vbyte)
+      assert(blocks.flatMap(Codec.decodeBlockDocs(_, Codec.Vbyte)) == ids.toSeq)
+      assert(blocks.flatMap(Codec.decodeBlockTfs(_, Codec.Vbyte)) == tfs.toSeq)
+      assert(blocks.flatMap(Codec.decodeBlockDls(_, Codec.Vbyte)) == dls.toSeq)
       var off = 0
       for (b <- blocks) {
         val mx = norms.slice(off, off + b.n).max
@@ -54,7 +54,7 @@ class CodecSpec extends AnyFunSuite {
     val tfs = Array.fill(10000)(2L)
     val dls = Array.fill(10000)(60L)
     val norms = Array.fill(10000)(0.5)
-    val blocks = Codec.buildBlocks(ids, tfs, dls, norms)
+    val blocks = Codec.buildBlocks(ids, tfs, dls, norms, codec = Codec.Vbyte)
     val bytes = blocks.map(b => b.docs.length + b.tfs.length + b.dls.length).sum
     assert(bytes < 10000 * 4, s"expected <4B/posting, got ${bytes / 10000.0}")
   }
@@ -133,7 +133,7 @@ class CodecSpec extends AnyFunSuite {
       assert(fb.flatMap(Codec.decodeBlockDocs(_, Codec.For)) == ids.toSeq)
       assert(fb.flatMap(Codec.decodeBlockTfs(_, Codec.For)) == tfs.toSeq)
       assert(fb.flatMap(Codec.decodeBlockDls(_, Codec.For)) == dls.toSeq)
-      val vb = Codec.buildBlocks(ids, tfs, dls, norms, blockSize = 64)
+      val vb = Codec.buildBlocks(ids, tfs, dls, norms, blockSize = 64, codec = Codec.Vbyte)
       assert(fb.map(b => (b.n, b.maxTfNorm, b.firstDoc, b.lastDoc)) ==
         vb.map(b => (b.n, b.maxTfNorm, b.firstDoc, b.lastDoc)))
     }

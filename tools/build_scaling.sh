@@ -16,16 +16,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 NPAGES="${1:-20000}"
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
-ADD_OPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
-         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
-  ADD_OPENS+=" --add-opens java.base/$p=ALL-UNNAMED"
-done
-for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
-  ADD_OPENS+=" --add-opens java.base/$p=ALL-UNNAMED"
-done
-export MALLOC_MMAP_THRESHOLD_=268435456 MALLOC_TRIM_THRESHOLD_=268435456 MALLOC_ARENA_MAX=8
+source tools/jvm_prelude.sh # script already cd'd to the repo root
 
 run_build() { # cores heap localdir ixdir logfile
   local cores="$1" heap="$2" localdir="$3" ixdir="$4" log="$5"

@@ -15,16 +15,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 NPAGES="${1:-60000}"
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
-ADD_OPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
-         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
-  ADD_OPENS+=" --add-opens java.base/$p=ALL-UNNAMED"
-done
-for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
-  ADD_OPENS+=" --add-opens java.base/$p=ALL-UNNAMED"
-done
-export MALLOC_MMAP_THRESHOLD_=268435456 MALLOC_TRIM_THRESHOLD_=268435456 MALLOC_ARENA_MAX=8
+source tools/jvm_prelude.sh # script already cd'd to the repo root
 
 BASE=/dev/shm/graft-qscalx
 rm -rf "$BASE"; mkdir -p "$BASE"
@@ -59,10 +50,14 @@ echo "== C: four concurrent JVMs local[4], shared read-only index =="
 for i in 1 2 3 4; do
   run_qbench 4 6g "$BASE/c$i" "$BASE/c$i.log" &
 done
-wait
+wait # NB: always 0 for backgrounded jobs — child failure is caught below
 CMAX=0
 for i in 1 2 3 4; do
-  S=$(extract_total "$BASE/c$i.log"); echo "  jvm$i: ${S}s"
+  S=$(extract_total "$BASE/c$i.log")
+  if [ -z "$S" ]; then
+    echo "CHILD JVM $i FAILED (no total= line):"; tail -5 "$BASE/c$i.log"; exit 1
+  fi
+  echo "  jvm$i: ${S}s"
   CMAX=$(python3 -c "print(max($CMAX, $S))")
 done
 echo "Q4x4(max child set-seconds)=${CMAX}s"
