@@ -89,6 +89,60 @@ object SparkEntry {
   // Query catalog
   // -------------------------------------------------------------------
 
+  /** The LSH banded-pair computation, shared by `q_lsh_pairs` and the
+    * cluster-election query built on top of it.
+    *
+    * Materialize the shingle-hash arrays BEFORE the minhash UDF touches
+    * them: a Scala UDF drops the stage out of whole-stage codegen, and in
+    * interpreted mode the tokenizer/shingle expression tree re-evaluates
+    * per reference — a ~7x slowdown measured at sf0.1. The checkpoint
+    * also stops the self-join from re-running the stage per branch (the
+    * DuckDB oracle's CTEs materialize natively).
+    */
+  private def lshPairs(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, "documents")
+    registerMinhashUdfs(spark)
+    spark.sql(
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents
+                        WHERE size(${Sql.tokensSpark("text")}) >= 3)
+          SELECT doc_id, ${Sql.shingleHashSpark(Sql.shinglesSpark("tk"))} AS hs FROM toks""")
+      .localCheckpoint(true)
+      .createOrReplaceTempView("graft_lsh_hs")
+    spark.sql(
+      """SELECT doc_id, explode(graft_minhash_bands(hs)) AS band
+         FROM graft_lsh_hs WHERE size(hs) > 0""")
+      .localCheckpoint(true)
+      .createOrReplaceTempView("graft_lsh_bands")
+    spark.sql(
+      """WITH ok AS (SELECT band FROM graft_lsh_bands GROUP BY band
+                     HAVING count(*) BETWEEN 2 AND 50),
+          small_bands AS (SELECT b.doc_id, b.band FROM graft_lsh_bands b
+                          JOIN ok ON b.band = ok.band)
+          SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+          FROM small_bands a JOIN small_bands b
+            ON a.band = b.band AND a.doc_id < b.doc_id
+          ORDER BY x, y""")
+  }
+
+  /** DuckDB mirror of `lshPairs` (no ORDER BY — composed by two oracles). */
+  private def lshPairsDuckSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents),
+        hs AS (SELECT doc_id, ${Sql.shingleHashDuck(Sql.shinglesDuck("tk"))} AS hs FROM toks
+               WHERE len(tk) >= 3),
+        sigs AS (SELECT doc_id,
+                   ${(0 until graft.ops.Minhash.NumPerms)
+                      .map(i => s"${duckSigExpr(i)} AS s$i").mkString(", ")}
+                 FROM hs WHERE len(hs) > 0),
+        bands AS (SELECT doc_id, unnest([${(0 until graft.ops.Minhash.NumBands)
+                    .map(duckBandExpr).mkString(", ")}]) AS band FROM sigs),
+        ok AS (SELECT band FROM bands GROUP BY band
+               HAVING count(*) BETWEEN 2 AND 50),
+        small_bands AS (SELECT b.doc_id, b.band FROM bands b
+                        JOIN ok ON b.band = ok.band)
+        SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+        FROM small_bands a JOIN small_bands b
+          ON a.band = b.band AND a.doc_id < b.doc_id"""
+
   private def sqlQuery(tables: Seq[String], sparkSql: String)
                       (spark: SparkSession, dir: String): DataFrame = {
     views(spark, dir, tables: _*)
@@ -243,35 +297,21 @@ object SparkEntry {
             FROM sig ORDER BY doc_id""")
     }),
 
-    "q_lsh_pairs" -> ((spark: SparkSession, dir: String) => {
-      views(spark, dir, "documents")
-      registerMinhashUdfs(spark)
-      // Materialize the shingle-hash arrays BEFORE the minhash UDF touches
-      // them: a Scala UDF drops the stage out of whole-stage codegen, and in
-      // interpreted mode the tokenizer/shingle expression tree re-evaluates
-      // per reference — a ~7x slowdown measured at sf0.1. The checkpoint
-      // also stops the self-join from re-running the stage per branch (the
-      // DuckDB oracle's CTEs materialize natively).
-      spark.sql(
-        s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents
-                          WHERE size(${Sql.tokensSpark("text")}) >= 3)
-            SELECT doc_id, ${Sql.shingleHashSpark(Sql.shinglesSpark("tk"))} AS hs FROM toks""")
-        .localCheckpoint(true)
-        .createOrReplaceTempView("graft_lsh_hs")
-      spark.sql(
-        """SELECT doc_id, explode(graft_minhash_bands(hs)) AS band
-           FROM graft_lsh_hs WHERE size(hs) > 0""")
-        .localCheckpoint(true)
-        .createOrReplaceTempView("graft_lsh_bands")
-      spark.sql(
-        """WITH ok AS (SELECT band FROM graft_lsh_bands GROUP BY band
-                       HAVING count(*) BETWEEN 2 AND 50),
-            small_bands AS (SELECT b.doc_id, b.band FROM graft_lsh_bands b
-                            JOIN ok ON b.band = ok.band)
-            SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-            FROM small_bands a JOIN small_bands b
-              ON a.band = b.band AND a.doc_id < b.doc_id
-            ORDER BY x, y""")
+    "q_lsh_pairs" -> ((spark: SparkSession, dir: String) => lshPairs(spark, dir)),
+
+    // Near-dup cluster election: connected components over the LSH pair
+    // graph, canonical doc = min doc_id per component (the step after pair
+    // generation in a web-dedup pipeline: pairs -> clusters -> keep one).
+    "q_dedup_clusters" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val edges = lshPairs(spark, dir)
+      val vertices = spark.table("documents").select(col("doc_id").as("id"))
+      graft.ops.Components.minLabel(spark, edges, vertices)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
     }),
 
     // frequent-shingle cap (df <= 1000) defuses the quadratic blow-up a
@@ -527,24 +567,24 @@ object SparkEntry {
                  ${(0 until graft.ops.Minhash.NumPerms).map(duckSigExpr).mkString("(", " + ", ")")} AS sig_sum
           FROM hs ORDER BY doc_id""",
 
-    "q_lsh_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents),
-          hs AS (SELECT doc_id, ${Sql.shingleHashDuck(Sql.shinglesDuck("tk"))} AS hs FROM toks
-                 WHERE len(tk) >= 3),
-          sigs AS (SELECT doc_id,
-                     ${(0 until graft.ops.Minhash.NumPerms)
-                        .map(i => s"${duckSigExpr(i)} AS s$i").mkString(", ")}
-                   FROM hs WHERE len(hs) > 0),
-          bands AS (SELECT doc_id, unnest([${(0 until graft.ops.Minhash.NumBands)
-                      .map(duckBandExpr).mkString(", ")}]) AS band FROM sigs),
-          ok AS (SELECT band FROM bands GROUP BY band
-                 HAVING count(*) BETWEEN 2 AND 50),
-          small_bands AS (SELECT b.doc_id, b.band FROM bands b
-                          JOIN ok ON b.band = ok.band)
-          SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-          FROM small_bands a JOIN small_bands b
-            ON a.band = b.band AND a.doc_id < b.doc_id
-          ORDER BY x, y""",
+    "q_lsh_pairs" -> s"$lshPairsDuckSql ORDER BY x, y",
+
+    // components via recursive reachability closure (the graph fits the
+    // oracle engine at verification scale; the ENGINE side is the
+    // shuffle-per-round label propagation, see graft.ops.Components)
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT * FROM ($lshPairsDuckSql) t),
+          edges2 AS (SELECT x, y FROM pairs UNION SELECT y AS x, x AS y FROM pairs),
+          nodes AS (SELECT DISTINCT doc_id FROM documents),
+          reach(src, node) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.src, e.y FROM reach r JOIN edges2 e ON r.node = e.x),
+          lbl AS (SELECT src AS doc_id, min(node) AS cluster_id
+                  FROM reach GROUP BY src)
+          SELECT doc_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM lbl ORDER BY doc_id""",
 
     "q_jaccard_pairs" ->
       s"""WITH toks AS (SELECT doc_id, ${Sql.tokensDuck("text")} AS tk FROM documents),
