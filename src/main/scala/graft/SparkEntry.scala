@@ -113,6 +113,8 @@ object SparkEntry {
          FROM graft_lsh_hs WHERE size(hs) > 0""")
       .localCheckpoint(true)
       .createOrReplaceTempView("graft_lsh_bands")
+    // no ORDER BY here: q_lsh_pairs sorts its output, the components
+    // consumer would pay a useless global sort it immediately re-shuffles
     spark.sql(
       """WITH ok AS (SELECT band FROM graft_lsh_bands GROUP BY band
                      HAVING count(*) BETWEEN 2 AND 50),
@@ -120,8 +122,7 @@ object SparkEntry {
                           JOIN ok ON b.band = ok.band)
           SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
           FROM small_bands a JOIN small_bands b
-            ON a.band = b.band AND a.doc_id < b.doc_id
-          ORDER BY x, y""")
+            ON a.band = b.band AND a.doc_id < b.doc_id""")
   }
 
   /** DuckDB mirror of `lshPairs` (no ORDER BY — composed by two oracles). */
@@ -297,7 +298,8 @@ object SparkEntry {
             FROM sig ORDER BY doc_id""")
     }),
 
-    "q_lsh_pairs" -> ((spark: SparkSession, dir: String) => lshPairs(spark, dir)),
+    "q_lsh_pairs" -> ((spark: SparkSession, dir: String) =>
+      lshPairs(spark, dir).orderBy("x", "y")),
 
     // Near-dup cluster election: connected components over the LSH pair
     // graph, canonical doc = min doc_id per component (the step after pair
@@ -307,7 +309,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.{col, count, lit}
       val edges = lshPairs(spark, dir)
       val vertices = spark.table("documents").select(col("doc_id").as("id"))
-      graft.ops.Components.minLabel(spark, edges, vertices)
+      graft.ops.Components.minLabel(edges, vertices)
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy("cluster_id")))

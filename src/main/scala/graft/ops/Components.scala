@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the cluster-election
@@ -23,19 +23,28 @@ import org.apache.spark.sql.functions._
   * published contraction family is the drop-in upgrade — the seam is
   * this one function. Label frames are eagerly localCheckpoint'd each
   * round: the loop would otherwise stack a lineage of self-joins, and
-  * convergence is detected with a count (a scalar action, never a
+  * convergence is detected with a narrow exact-sum aggregate over the
+  * checkpointed labels (a scalar action — no per-round join, never a
   * driver-side collect of vertices).
   */
 object Components {
 
-  /** @param edges    (x, y) undirected pairs, any orientation, dups ok
-    * @param vertices (id) — every vertex to label, isolated ones included
+  /** @param edges     (x, y) undirected pairs, any orientation, dups ok
+    * @param vertices  (id) — every vertex to label, isolated ones included
+    * @param maxRounds largest component DIAMETER supported; the loop runs
+    *                  at most maxRounds+1 iterations (diameter rounds of
+    *                  change + one confirming zero-change round)
     * @return (id, lbl) where lbl = min id reachable from id
     */
-  def minLabel(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
+  def minLabel(edges: DataFrame, vertices: DataFrame,
                maxRounds: Int = 64): DataFrame = {
-    val sym = edges.select(col("x").cast("long").as("src"), col("y").cast("long").as("dst"))
-      .union(edges.select(col("y").cast("long").as("src"), col("x").cast("long").as("dst")))
+    // checkpoint the (possibly expensive) pair plan ONCE before the
+    // symmetrizing union references it twice — relying on exchange reuse
+    // to dedupe the two identical subtrees is optimizer luck
+    val base = edges.select(col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+      .localCheckpoint(true)
+    val sym = base.select(col("x").as("src"), col("y").as("dst"))
+      .union(base.select(col("y").as("src"), col("x").as("dst")))
       .distinct()
       .localCheckpoint(true)
     // the loop runs over edge-TOUCHED vertices only: a vertex with no edge
@@ -47,23 +56,33 @@ object Components {
       .distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    // labels only ever DECREASE, so the exact decimal sum over the (fixed)
+    // vertex set strictly decreases iff any label changed — convergence is
+    // a narrow aggregate over the just-checkpointed frame, not a
+    // join-and-count second shuffle per round
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      // empty label frame (edge-less graph) sums to NULL -> zero
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = lblSum(labels)
+    var changed = true
     var round = 0
-    while (changed > 0 && round < maxRounds) {
+    while (changed && round <= maxRounds) {
       round += 1
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
       val next = labels.select("id", "lbl").union(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.lbl") < col("o.lbl")).count()
+      val nextSum = lblSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
     }
-    // labels only ever decrease, so non-convergence means the graph's
-    // diameter exceeded maxRounds — refuse to return a wrong labeling
-    require(changed == 0,
-      s"components did not converge in $maxRounds rounds (pathological graph?)")
+    // non-convergence means the graph's diameter exceeded maxRounds —
+    // refuse to return a wrong labeling
+    require(!changed,
+      s"component diameter exceeds maxRounds=$maxRounds (pathological graph?)")
     val singletons = vertices.select(col("id").cast("long"))
       .distinct()
       .join(labels, Seq("id"), "left_anti")

@@ -28,7 +28,7 @@ class ComponentsSpec extends AnyFunSuite {
     import spark.implicits._
     val e = edges.toDF("x", "y")
     val v = (0L until n).toDF("id")
-    Components.minLabel(spark, e, v).as[(Long, Long)].collect().toMap
+    Components.minLabel(e, v).as[(Long, Long)].collect().toMap
   }
 
   test("random graphs match union-find (5 seeds)") {
@@ -60,5 +60,21 @@ class ComponentsSpec extends AnyFunSuite {
   test("empty edge list labels every vertex with itself") {
     val got = run(5, Nil)
     assert(got == (0L until 5L).map(v => v -> v).toMap)
+  }
+
+  test("maxRounds bounds the DIAMETER: d == maxRounds converges, d > refuses") {
+    import spark.implicits._
+    val chain = (0L until 3L).map(i => (i, i + 1)) // diameter 3 on 4 vertices
+    val v = (0L until 4L).toDF("id")
+    // exactly at the budget: the confirming round must still fit
+    val ok = Components.minLabel(chain.toDF("x", "y"), v, maxRounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(0L))
+    // one past the budget: refuse rather than return a wrong labeling
+    val ex = intercept[IllegalArgumentException] {
+      Components.minLabel(chain.toDF("x", "y"), v, maxRounds = 2)
+        .as[(Long, Long)].collect()
+    }
+    assert(ex.getMessage.contains("diameter"))
   }
 }
