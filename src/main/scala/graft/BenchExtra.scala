@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement harness (guide §1), SEPARATE from the
+  * frozen driver bench: per-query noop-sink timing (§1.4 — computes every
+  * column, no count-pruning) and `.explain("formatted")` plan dumps for the
+  * plans/r06 evidence files. Never used by the driver; Bench.scala stays
+  * the only measured contract.
+  *
+  *   graft.BenchExtra explain <sfDir> <outDir> [query...]  — plan dumps
+  *   graft.BenchExtra noop <sfDir> [query...]              — noop-sink secs
+  */
+object BenchExtra {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-benchextra")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+          else "/tmp"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: explain|noop <sfDir> ...")
+    val cmd = args(0)
+    val sfDir = args(1)
+    val spark = session()
+    cmd match {
+      case "explain" =>
+        val outDir = args(2)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        val names = if (args.length > 3) args.drop(3).toSeq
+                    else SparkEntry.queries.keys.toSeq.sorted
+        for (n <- names) {
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/$n.txt"), plan)
+          println(s"[explain] wrote $outDir/$n.txt")
+        }
+      case "noop" =>
+        val names = if (args.length > 2) args.drop(2).toSeq
+                    else SparkEntry.queries.keys.toSeq.sorted
+        for (n <- names) {
+          val fn = SparkEntry.queries(n)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+          SparkEntryExtra.clearSearchMemo()
+          spark.sparkContext.setJobDescription(s"noop:$n")
+          val secs = time {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+          spark.sparkContext.setJobDescription(null)
+          println(f"[noop] $n: $secs%.3fs")
+        }
+      case "stage" =>
+        // ad-hoc stage isolation probes for the heavy catalog queries
+        import graft.spark.Sql
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .createOrReplaceTempView("documents")
+        def t(label: String)(f: => Unit): Unit = {
+          f // warm (JIT + codegen cache)
+          println(f"[stage] $label: ${time(f)}%.3fs")
+        }
+        t("lsh.hs-checkpoint") {
+          spark.sql(
+            s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents
+                              WHERE size(${Sql.tokensSpark("text")}) >= 3)
+                SELECT doc_id, ${Sql.shingleHashSpark(Sql.shinglesSpark("tk"))} AS hs FROM toks""")
+            .localCheckpoint(true)
+            .createOrReplaceTempView("probe_hs")
+        }
+        t("lsh.hs-recount") { spark.table("probe_hs").count() }
+        t("lsh.toks-only") {
+          spark.sql(s"SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents")
+            .write.format("noop").mode("overwrite").save()
+        }
+        t("lsh.hs-nofilter") {
+          spark.sql(
+            s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents)
+                SELECT doc_id, ${Sql.shingleHashSpark(Sql.shinglesSpark("tk"))} AS hs
+                FROM toks WHERE size(tk) >= 3""")
+            .write.format("noop").mode("overwrite").save()
+        }
+        SparkEntry.registerMinhashUdfs(spark)
+        t("lsh.bands-checkpoint") {
+          spark.sql(
+            """SELECT doc_id, explode(graft_minhash_bands(hs)) AS band
+               FROM probe_hs WHERE size(hs) > 0""")
+            .localCheckpoint(true)
+            .createOrReplaceTempView("probe_bands")
+        }
+        t("lsh.pairs-final") {
+          spark.sql(
+            """WITH ok AS (SELECT band FROM probe_bands GROUP BY band
+                           HAVING count(*) BETWEEN 2 AND 50),
+                small_bands AS (SELECT b.doc_id, b.band FROM probe_bands b
+                                JOIN ok ON b.band = ok.band)
+                SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+                FROM small_bands a JOIN small_bands b
+                  ON a.band = b.band AND a.doc_id < b.doc_id""").count()
+        }
+        t("jacc.shingle-checkpoint") {
+          spark.sql(
+            s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents)
+                SELECT DISTINCT doc_id, shingle
+                FROM (SELECT doc_id, explode(${Sql.shinglesSpark("tk")}) AS shingle FROM toks)""")
+            .localCheckpoint(true)
+            .createOrReplaceTempView("probe_jacc_sh")
+        }
+        t("jacc.pairs-final") {
+          spark.sql(
+            """WITH rare AS (SELECT shingle FROM probe_jacc_sh
+                             GROUP BY shingle HAVING count(*) <= 1000),
+              sizes AS (SELECT doc_id, count(*) AS n FROM probe_jacc_sh GROUP BY doc_id),
+              shr AS (SELECT sh.doc_id, sh.shingle, s.n FROM probe_jacc_sh sh
+                      JOIN rare ON sh.shingle = rare.shingle
+                      JOIN sizes s ON s.doc_id = sh.doc_id),
+              inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
+                        FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                             AND greatest(a.n, b.n) <= 5 * least(a.n, b.n)
+                        GROUP BY a.doc_id, b.doc_id)
+              SELECT x, y, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+              FROM inter JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+              ORDER BY x, y""").count()
+        }
+        // components: count rounds + per-round cost
+        val edges = spark.sql(
+          """WITH ok AS (SELECT band FROM probe_bands GROUP BY band
+                         HAVING count(*) BETWEEN 2 AND 50),
+              small_bands AS (SELECT b.doc_id, b.band FROM probe_bands b
+                              JOIN ok ON b.band = ok.band)
+              SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+              FROM small_bands a JOIN small_bands b
+                ON a.band = b.band AND a.doc_id < b.doc_id""")
+        val vertices = spark.table("documents")
+          .select(org.apache.spark.sql.functions.col("doc_id").as("id"))
+        t("components.minLabel") {
+          graft.ops.Components.minLabel(edges, vertices).count()
+        }
+      case other => sys.error(s"unknown subcommand $other")
+    }
+    spark.stop()
+  }
+}

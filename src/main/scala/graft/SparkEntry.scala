@@ -28,7 +28,7 @@ object SparkEntry {
     * arithmetic is mirrored verbatim by the DuckDB oracle SQL (same A/B/P
     * constants from graft.ops.Minhash).
     */
-  private def registerMinhashUdfs(spark: SparkSession): Unit = {
+  private[graft] def registerMinhashUdfs(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions.udf
     // Array params avoid per-element boxing; asNondeterministic stops
     // Catalyst duplicating the call across projections/filters
@@ -39,6 +39,36 @@ object SparkEntry {
       udf((hs: Array[Long]) =>
         graft.ops.Minhash.bands(graft.ops.Minhash.signature(hs)))
         .asNondeterministic())
+    // Fused tokens -> band-keys kernel for lshPairs: 3-token shingles
+    // (identical to Sql.shinglesSpark's concat_ws(' ', slice(tk, i, 3))),
+    // md5 8-hex-prefix as the 32-bit shingle hash (identical to
+    // Sql.shingleHashSpark's conv(substr(md5(s), 1, 8), 16, 10) — the
+    // first 4 digest bytes big-endian), then Minhash.signature + bands.
+    // Docs with < 3 tokens produce no shingles, hence no bands (the
+    // former `size(tk) >= 3` / `size(hs) > 0` filters).
+    spark.udf.register("graft_toks_bands",
+      udf((tk: Array[String]) => {
+        if (tk == null || tk.length < 3) Array.empty[String]
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val hs = new Array[Long](tk.length - 2)
+          var i = 0
+          while (i < hs.length) {
+            md.reset()
+            md.update(tk(i).getBytes(utf8))
+            md.update(' '.toByte)
+            md.update(tk(i + 1).getBytes(utf8))
+            md.update(' '.toByte)
+            md.update(tk(i + 2).getBytes(utf8))
+            val d = md.digest()
+            hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            i += 1
+          }
+          graft.ops.Minhash.bands(graft.ops.Minhash.signature(hs))
+        }
+      }).asNondeterministic())
   }
 
   /** Shared BM25 CTE chain (Spark dialect). */
@@ -92,37 +122,43 @@ object SparkEntry {
   /** The LSH banded-pair computation, shared by `q_lsh_pairs` and the
     * cluster-election query built on top of it.
     *
-    * Materialize the shingle-hash arrays BEFORE the minhash UDF touches
-    * them: a Scala UDF drops the stage out of whole-stage codegen, and in
-    * interpreted mode the tokenizer/shingle expression tree re-evaluates
-    * per reference — a ~7x slowdown measured at sf0.1. The checkpoint
-    * also stops the self-join from re-running the stage per branch (the
-    * DuckDB oracle's CTEs materialize natively).
+    * One fused pass: tokenize in SQL, then shingle-hash + minhash + banding
+    * in a single tight-loop UDF (graft_toks_bands — byte-identical md5
+    * 8-hex-prefix arithmetic to the former SQL shingleHash expression, see
+    * Sql.shingleHashSpark). Round 5 ran this as TWO localCheckpoint'd
+    * stages because the md5/conv hash lived in SQL and the non-codegen
+    * minhash UDF forced a materialization boundary; fusing removes a full
+    * intermediate materialization and its exchange.
+    *
+    * Pair generation is join-free: group docs per band (size cap 2..50
+    * unchanged), emit sorted in-band pairs via nested explode, dedup
+    * across bands — one exchange + one distinct, replacing round-5's
+    * ok/small_bands broadcast-join chain whose `ok` subtree was planned
+    * twice (guide §2.4: remove shuffles/duplicated subtrees outright).
+    * Output rows are identical: every (x, y), x < y, sharing at least one
+    * qualifying band.
     */
   private def lshPairs(spark: SparkSession, dir: String): DataFrame = {
     views(spark, dir, "documents")
     registerMinhashUdfs(spark)
+    // the documents table is one small parquet file -> a single scan task;
+    // spread the per-doc tokenize+minhash compute across the session's
+    // parallelism before the heavy projection (guide §2.5, input skew:
+    // repartition right after an unsplittable read). The count tracks
+    // spark.sql.shuffle.partitions, not a local constant.
+    val nParts = spark.sessionState.conf.numShufflePartitions
     spark.sql(
-      s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents
-                        WHERE size(${Sql.tokensSpark("text")}) >= 3)
-          SELECT doc_id, ${Sql.shingleHashSpark(Sql.shinglesSpark("tk"))} AS hs FROM toks""")
-      .localCheckpoint(true)
-      .createOrReplaceTempView("graft_lsh_hs")
-    spark.sql(
-      """SELECT doc_id, explode(graft_minhash_bands(hs)) AS band
-         FROM graft_lsh_hs WHERE size(hs) > 0""")
-      .localCheckpoint(true)
-      .createOrReplaceTempView("graft_lsh_bands")
-    // no ORDER BY here: q_lsh_pairs sorts its output, the components
-    // consumer would pay a useless global sort it immediately re-shuffles
-    spark.sql(
-      """WITH ok AS (SELECT band FROM graft_lsh_bands GROUP BY band
-                     HAVING count(*) BETWEEN 2 AND 50),
-          small_bands AS (SELECT b.doc_id, b.band FROM graft_lsh_bands b
-                          JOIN ok ON b.band = ok.band)
-          SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-          FROM small_bands a JOIN small_bands b
-            ON a.band = b.band AND a.doc_id < b.doc_id""")
+      s"""WITH docs AS (SELECT /*+ REPARTITION($nParts, doc_id) */ doc_id, text
+                        FROM documents),
+          bands AS (SELECT doc_id, explode(graft_toks_bands(${Sql.tokensSpark("text")})) AS band
+                    FROM docs),
+          g AS (SELECT sort_array(collect_list(doc_id)) AS ds
+                FROM bands GROUP BY band
+                HAVING count(*) BETWEEN 2 AND 50)
+          SELECT DISTINCT x, y
+          FROM g
+          LATERAL VIEW explode(ds) ex AS x
+          LATERAL VIEW explode(filter(ds, d -> d > x)) ey AS y""")
   }
 
   /** DuckDB mirror of `lshPairs` (no ORDER BY — composed by two oracles). */
@@ -320,38 +356,42 @@ object SparkEntry {
     // boilerplate shingle causes in the self-join at web scale; pairs
     // whose overlap is ONLY boilerplate are below the 0.2 threshold
     // anyway. The DuckDB oracle applies the identical cap.
+    // frequent-shingle cap (df <= 1000) and the exact size-ratio prune
+    // (j = i/(na+nb-i) >= 0.2 with i <= min(na,nb) forces 5*min >= max)
+    // are unchanged from round 5; what changed is the SHAPE (guide §2.4,
+    // §3): per-doc shingle counts come from one window instead of an
+    // aggregate-plus-join, the df cap is the grouped HAVING, and pair
+    // generation is a join-free nested explode over per-shingle sorted
+    // doc lists — carrying (n) through the group so the final sizes
+    // re-joins disappear. Round 5 planned 6 joins + a localCheckpoint;
+    // this is a single pipeline with 3 exchanges and no joins. Output
+    // rows identical; the DuckDB oracle keeps the original join form.
     "q_jaccard_pairs" -> ((spark: SparkSession, dir: String) => {
       views(spark, dir, "documents")
-      // Spark re-expands a CTE per consumer, so the shingle-explode stage
-      // (the expensive tokenizer pass) would run twice — once for `sizes`,
-      // once for `shr`. Materialize it like q_lsh_pairs does; the DuckDB
-      // oracle's CTEs materialize natively so its SQL stays single-block.
+      // same single-file-scan parallelization as lshPairs (guide §2.5)
+      val nParts = spark.sessionState.conf.numShufflePartitions
       spark.sql(
-        s"""WITH toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM documents)
-            SELECT DISTINCT doc_id, shingle
-            FROM (SELECT doc_id, explode(${Sql.shinglesSpark("tk")}) AS shingle FROM toks)""")
-        .localCheckpoint(true)
-        .createOrReplaceTempView("graft_jacc_sh")
-      // size-ratio prune (exact, not approximate): j = i/(na+nb-i) >= 0.2
-      // with i <= min(na, nb) forces 5*min >= max — pairs outside that
-      // ratio can never pass the threshold, so dropping them BEFORE the
-      // pair aggregation (the query's dominant cost) changes nothing in
-      // the output while cutting the self-join's group sizes. The DuckDB
-      // oracle applies the identical predicate.
-      spark.sql(
-        """WITH rare AS (SELECT shingle FROM graft_jacc_sh
-                         GROUP BY shingle HAVING count(*) <= 1000),
-          sizes AS (SELECT doc_id, count(*) AS n FROM graft_jacc_sh GROUP BY doc_id),
-          shr AS (SELECT sh.doc_id, sh.shingle, s.n FROM graft_jacc_sh sh
-                  JOIN rare ON sh.shingle = rare.shingle
-                  JOIN sizes s ON s.doc_id = sh.doc_id),
-          inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
-                    FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                         AND greatest(a.n, b.n) <= 5 * least(a.n, b.n)
-                    GROUP BY a.doc_id, b.doc_id)
-          SELECT x, y, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
-          FROM inter JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y
-          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        s"""WITH docs AS (SELECT /*+ REPARTITION($nParts, doc_id) */ doc_id, text
+                          FROM documents),
+          toks AS (SELECT doc_id, ${Sql.tokensSpark("text")} AS tk FROM docs),
+          sh AS (SELECT DISTINCT doc_id, shingle
+                 FROM (SELECT doc_id, explode(${Sql.shinglesSpark("tk")}) AS shingle FROM toks)),
+          withn AS (SELECT doc_id, shingle,
+                           count(*) OVER (PARTITION BY doc_id) AS n
+                    FROM sh),
+          g AS (SELECT sort_array(collect_list(struct(doc_id, n))) AS ds
+                FROM withn GROUP BY shingle
+                HAVING count(*) <= 1000),
+          pairs AS (SELECT a.doc_id AS x, a.n AS na, b.doc_id AS y, b.n AS nb
+                    FROM g
+                    LATERAL VIEW explode(ds) ea AS a
+                    LATERAL VIEW explode(filter(ds, d -> d.doc_id > a.doc_id)) eb AS b
+                    WHERE greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
+          inter AS (SELECT x, y, count(*) AS i, max(na) AS na, max(nb) AS nb
+                    FROM pairs GROUP BY x, y)
+          SELECT x, y, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+          FROM inter
+          WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.2
           ORDER BY x, y""")
     }),
 
@@ -469,19 +509,23 @@ object SparkEntry {
     }),
 
     // --- embeddings: similarity search (training-data ops) ---
-    "q_embed_topk" -> sqlQuery(Seq("embeddings"),
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    // tight-loop dot/norm UDFs instead of interpreted HOF lambdas (guide
+    // §1.2 step 2 / the q_embed_neardup precedent): identical float-op
+    // order (index-order double sums, sqrt, nrm*qn before the divide), so
+    // cosines are bit-identical to the former aggregate/zip_with chain.
+    "q_embed_topk" -> ((spark: SparkSession, dir: String) => {
+      views(spark, dir, "embeddings")
+      SparkEntryExtra.registerVecUdfs(spark)
+      spark.sql(
+        """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
           dots AS (SELECT e.vec_id,
-            aggregate(zip_with(e.embedding, q.qe,
-                               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                      0D, (acc, v) -> acc + v) AS dot,
-            sqrt(aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                      0D, (acc, v) -> acc + v)) AS nrm,
-            sqrt(aggregate(transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                      0D, (acc, v) -> acc + v)) AS qn
+            graft_vdot(e.embedding, q.qe) AS dot,
+            graft_vnorm(e.embedding) AS nrm,
+            graft_vnorm(q.qe) AS qn
             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
           SELECT vec_id, round(dot / (nrm * qn), 4) AS cos
-          FROM dots ORDER BY cos DESC, vec_id LIMIT 10""") _
+          FROM dots ORDER BY cos DESC, vec_id LIMIT 10""")
+    })
   )
 
   // -------------------------------------------------------------------

@@ -39,33 +39,66 @@ private[graft] object SparkEntryExtra {
     s"(CASE WHEN (($i * 131 + $j) * 2654435761) % 4294967296 >= 2147483648 " +
       "THEN 1.0 ELSE -1.0 END)"
 
-  private def bitSpark(i: Int): String =
-    s"CASE WHEN aggregate(sequence(0, 63), 0D, (acc, j) -> acc + " +
-      s"CAST(element_at(embedding, j + 1) AS DOUBLE) * ${signCase(i, "j")}) >= 0 " +
-      s"THEN ${1 << i} ELSE 0 END"
-
   private def bitDuck(i: Int): String =
     s"CASE WHEN list_sum(list_transform(range(0, 64), j -> " +
       s"CAST(embedding[j + 1] AS DOUBLE) * ${signCase(i, "j")})) >= 0 " +
       s"THEN ${1 << i} ELSE 0 END"
 
-  private def bucketSpark = (0 until 16).map(bitSpark).mkString(" + ")
   private def bucketDuck = (0 until 16).map(bitDuck).mkString(" + ")
   // 8-plane variant for the multi-probe query: 256 buckets sized to the
   // testdata corpus (16 planes -> 65k buckets = singletons at 500 vectors)
-  private def bucketSpark8 = (0 until 8).map(bitSpark).mkString(" + ")
   private def bucketDuck8 = (0 until 8).map(bitDuck).mkString(" + ")
   /** XOR masks of the probe sequence: self, Hamming-1, Hamming-2 (37). */
   private val ProbeMasks: Seq[Int] =
     0 +: ((0 until 8).map(1 << _) ++
       (for (i <- 0 until 8; j <- (i + 1) until 8) yield (1 << i) | (1 << j)))
 
-  private def dotSpark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "0D, (acc, v) -> acc + v)"
-  private def normSpark(a: String): String =
-    s"sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "0D, (acc, v) -> acc + v))"
+  /** Tight-loop vector kernels for the Spark side of the ANN/embedding
+    * queries (the DuckDB oracles keep their list-lambda SQL). Each mirrors
+    * the former interpreted HOF expression op-for-op so doubles are
+    * bit-identical:
+    *  - graft_vdot  == aggregate(zip_with(a, b, x*y), 0D, acc+v)
+    *    (index-order double mul/add),
+    *  - graft_vnorm == sqrt(aggregate(transform(a, x*x), 0D, acc+v)),
+    *  - graft_lshbucket(a, nPlanes) == sum over planes i of
+    *    CASE WHEN aggregate(sequence(0,63), 0D, acc + a[j]*sign(i,j)) >= 0
+    *    THEN 1<<i END with sign(i,j) = +-1 from the signCase arithmetic.
+    * asNondeterministic keeps Catalyst from duplicating the calls across
+    * projections/filters (the q_embed_neardup lesson).
+    */
+  private[graft] def registerVecUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("graft_vdot", udf((a: Array[Float], b: Array[Float]) => {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }).asNondeterministic())
+    spark.udf.register("graft_vnorm", udf((a: Array[Float]) => {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }).asNondeterministic())
+    spark.udf.register("graft_lshbucket", udf((a: Array[Float], nPlanes: Int) => {
+      var bucket = 0
+      var i = 0
+      while (i < nPlanes) {
+        var acc = 0.0
+        var j = 0
+        while (j < 64) {
+          val s =
+            if (((i * 131 + j).toLong * 2654435761L) % 4294967296L >= 2147483648L) 1.0
+            else -1.0
+          acc += a(j).toDouble * s
+          j += 1
+        }
+        if (acc >= 0) bucket |= 1 << i
+        i += 1
+      }
+      bucket
+    }).asNondeterministic())
+  }
+
   private def dotDuck(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -396,17 +429,25 @@ private[graft] object SparkEntryExtra {
            ORDER BY x, y""")
     }),
 
-    // --- LSH-bucketed ANN (the 10^12-scale path next to brute force) ---
-    "q_ann_lsh" -> sqlQuery(Seq("embeddings"),
-      s"""WITH sig AS (SELECT vec_id, embedding, ($bucketSpark) AS bucket
+    // --- LSH-bucketed ANN (the 10^12-scale path next to brute force).
+    //     Spark side runs the tight-loop vector UDFs (registerVecUdfs,
+    //     bit-identical float-op order to the former interpreted HOF
+    //     lambdas — guide §1.2 step 2); the DuckDB oracle keeps its
+    //     list-lambda SQL. ---
+    "q_ann_lsh" -> ((spark: SparkSession, dir: String) => {
+      views(spark, dir, "embeddings")
+      registerVecUdfs(spark)
+      spark.sql(
+        """WITH sig AS (SELECT vec_id, embedding, graft_lshbucket(embedding, 16) AS bucket
                FROM embeddings),
           q AS (SELECT bucket, embedding AS qe FROM sig WHERE vec_id = 0),
           cand AS (SELECT s.vec_id,
-                 ${dotSpark("s.embedding", "q.qe")} /
-                   (${normSpark("s.embedding")} * ${normSpark("q.qe")}) AS cos
+                 graft_vdot(s.embedding, q.qe) /
+                   (graft_vnorm(s.embedding) * graft_vnorm(q.qe)) AS cos
                FROM sig s CROSS JOIN q WHERE s.bucket = q.bucket AND s.vec_id <> 0)
           SELECT vec_id, round(cos, 4) AS cos FROM cand
-          ORDER BY cos DESC, vec_id LIMIT 5""") _,
+          ORDER BY cos DESC, vec_id LIMIT 5""")
+    }),
 
     // multi-probe variant: 8-plane buckets, probing the query bucket plus
     // every Hamming-1 and Hamming-2 neighbor (37 of 256 buckets — mirrors
@@ -415,19 +456,23 @@ private[graft] object SparkEntryExtra {
     // match theirs: bucket count must track corpus size or buckets are
     // singletons and probing is moot. Spark `^` is bitwise xor; DuckDB
     // spells it xor() (its ^ is power), hence per-dialect probe lists.
-    "q_ann_multiprobe" -> sqlQuery(Seq("embeddings"),
-      s"""WITH sig AS (SELECT vec_id, embedding, ($bucketSpark8) AS bucket
+    "q_ann_multiprobe" -> ((spark: SparkSession, dir: String) => {
+      views(spark, dir, "embeddings")
+      registerVecUdfs(spark)
+      spark.sql(
+        s"""WITH sig AS (SELECT vec_id, embedding, graft_lshbucket(embedding, 8) AS bucket
                FROM embeddings),
           q AS (SELECT bucket, embedding AS qe FROM sig WHERE vec_id = 0),
           cand AS (SELECT s.vec_id,
-                 ${dotSpark("s.embedding", "q.qe")} /
-                   (${normSpark("s.embedding")} * ${normSpark("q.qe")}) AS cos
+                 graft_vdot(s.embedding, q.qe) /
+                   (graft_vnorm(s.embedding) * graft_vnorm(q.qe)) AS cos
                FROM sig s CROSS JOIN q
                WHERE s.vec_id <> 0 AND s.bucket IN
                  (${ProbeMasks.map(m => if (m == 0) "q.bucket" else s"q.bucket ^ $m")
                     .mkString(", ")}))
           SELECT vec_id, round(cos, 4) AS cos FROM cand
-          ORDER BY cos DESC, vec_id LIMIT 5""") _,
+          ORDER BY cos DESC, vec_id LIMIT 5""")
+    }),
 
     // --- ANN recall, not just mechanics: recall@5 of the 8-plane
     //     Hamming-1/2 multi-probe LSH vs brute-force cosine, on the
@@ -440,15 +485,16 @@ private[graft] object SparkEntryExtra {
     "q_ann_recall" -> ((spark: SparkSession, dir: String) => {
       spark.read.parquet(s"$FixturesBase/dims/clustered_embeddings.parquet")
         .createOrReplaceTempView("cemb")
+      registerVecUdfs(spark)
       spark.sql(
         s"""WITH q AS (SELECT embedding AS qe FROM cemb WHERE vec_id = 0),
-            qb AS (SELECT ($bucketSpark8) AS bucket FROM cemb WHERE vec_id = 0),
+            qb AS (SELECT graft_lshbucket(embedding, 8) AS bucket FROM cemb WHERE vec_id = 0),
             scored AS (SELECT c.vec_id,
-                 ${dotSpark("c.embedding", "q.qe")} /
-                   (${normSpark("c.embedding")} * ${normSpark("q.qe")}) AS cos
+                 graft_vdot(c.embedding, q.qe) /
+                   (graft_vnorm(c.embedding) * graft_vnorm(q.qe)) AS cos
                FROM cemb c CROSS JOIN q WHERE c.vec_id <> 0),
             brute AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 5),
-            sig AS (SELECT vec_id, ($bucketSpark8) AS bucket FROM cemb),
+            sig AS (SELECT vec_id, graft_lshbucket(embedding, 8) AS bucket FROM cemb),
             lsh AS (SELECT s.vec_id FROM sig s
                     JOIN scored sc ON sc.vec_id = s.vec_id CROSS JOIN qb
                     WHERE s.bucket IN
@@ -475,11 +521,12 @@ private[graft] object SparkEntryExtra {
         .createOrReplaceTempView("cemb")
       spark.read.parquet(s"$FixturesBase/dims/ivf_centroids.parquet")
         .createOrReplaceTempView("ivf_cent")
+      registerVecUdfs(spark)
       spark.sql(
-        s"""WITH cent AS (SELECT cid, embedding AS ce FROM ivf_cent),
+        """WITH cent AS (SELECT cid, embedding AS ce FROM ivf_cent),
             sims AS (SELECT e.vec_id, c.cid,
-                 ${dotSpark("e.embedding", "c.ce")} /
-                   (${normSpark("e.embedding")} * ${normSpark("c.ce")}) AS sim
+                 graft_vdot(e.embedding, c.ce) /
+                   (graft_vnorm(e.embedding) * graft_vnorm(c.ce)) AS sim
                FROM cemb e CROSS JOIN cent c),
             rk AS (SELECT vec_id, cid,
                  row_number() OVER (PARTITION BY vec_id
@@ -489,8 +536,8 @@ private[graft] object SparkEntryExtra {
             probes AS (SELECT cid FROM rk WHERE vec_id = 0 AND rk <= 2),
             q AS (SELECT embedding AS qe FROM cemb WHERE vec_id = 0),
             cand AS (SELECT e.vec_id,
-                 ${dotSpark("e.embedding", "q.qe")} /
-                   (${normSpark("e.embedding")} * ${normSpark("q.qe")}) AS cos
+                 graft_vdot(e.embedding, q.qe) /
+                   (graft_vnorm(e.embedding) * graft_vnorm(q.qe)) AS cos
                FROM cemb e JOIN asg ON asg.vec_id = e.vec_id CROSS JOIN q
                WHERE asg.cid IN (SELECT cid FROM probes) AND e.vec_id <> 0)
             SELECT vec_id, round(cos, 4) AS cos FROM cand

@@ -53,19 +53,42 @@ object Multimodal {
     }
   }
 
-  private def sha256Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-      .map("%02x".format(_)).mkString
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte], n: Int): String = {
+    val len = math.min(n, bytes.length)
+    val out = new Array[Char](len * 2)
+    var i = 0
+    while (i < len) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def sha256Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
+    md.reset()
+    val d = md.digest(bytes)
+    hex(d, d.length)
+  }
 
   /** Batched feature extraction over (id, payload) rows. */
   def extractFeatures(rows: Dataset[(Long, Array[Byte])], kind: String): Dataset[MediaFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
-      // batch loop: decode amortizes per-partition setup (codec init, etc.)
+      // per-partition setup amortized over the batch: ImageIO's default
+      // disk cache writes+deletes a temp file per createImageInputStream
+      // call — a syscall pair per ROW; header probes never need it, so use
+      // the in-memory cache. One SHA-256 digest instance per task, and
+      // table-driven hex instead of a String.format per byte.
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { case (id, payload) =>
         val (w, h, real) = decode(payload)
-        MediaFeatures(id, kind, payload.length.toLong, sha256Hex(payload), w, h,
-          payload.take(8).map("%02x".format(_)).mkString, real)
+        MediaFeatures(id, kind, payload.length.toLong, sha256Hex(md, payload), w, h,
+          hex(payload, 8), real)
       }
     }
   }

@@ -91,7 +91,7 @@ object Wand {
                 termOrder: IndexedSeq[String], termWeights: Map[String, Double],
                 k: Int, k1: Double, b: Double, avgdl: Double,
                 boundScale: Double = 1.0,
-                codec: String = Codec.Vbyte): Seq[(Long, Double)] = {
+                codec: String): Seq[(Long, Double)] = {
     val cursors: Array[Cursor] = termOrder.iterator
       .filter(t => blocksByTerm.contains(t) && termWeights.getOrElse(t, 0.0) != 0.0)
       .map(t => new Cursor(termWeights(t),
