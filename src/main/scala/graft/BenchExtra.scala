@@ -155,6 +155,68 @@ object BenchExtra {
         t("components.minLabel") {
           graft.ops.Components.minLabel(edges, vertices).count()
         }
+      case "buildstage" =>
+        // attribute the build's stats-agg phase: run its pieces SEQUENTIALLY
+        // (the real build overlaps the writes) with per-piece wall times.
+        // args: buildstage <nPages>  (sfDir arg slot holds nPages here)
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val nPages = sfDir.toLong
+        val root = "/dev/shm/graft-buildstage"
+        def rm(p: String): Unit = {
+          import java.nio.file._
+          val pp = Paths.get(p)
+          if (Files.exists(pp))
+            Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+        }
+        rm(root)
+        val pages = graft.corpus.WebPages
+          .generate(spark, nPages, 42, spark.sparkContext.defaultParallelism * 2)
+          .map(p => graft.corpus.PageDoc(p.url, 1, p.text, None))
+        val cfg = graft.index.BuildConfig(shufflePartitions =
+          graft.index.BuildConfig.shufflePartitionsFor(
+            spark.sparkContext.defaultParallelism))
+        def t(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime()
+          f
+          println(f"[buildstage] $label: ${(System.nanoTime() - t0) / 1e9}%.3fs")
+        }
+        for (rep <- 1 to 2) {
+          println(s"[buildstage] --- rep $rep ---")
+          val chunks = graft.corpus.ChunkerJob
+            .chunk(pages, graft.corpus.ChunkerConfig()).toDF()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          t("chunk+dedup+cache")(chunks.count(): Unit)
+          val postings = graft.index.IndexBuilder.postings(
+            chunks.as[graft.corpus.ChunkRow])
+          t("postings-noop") {
+            postings.write.format("noop").mode("overwrite").save()
+          }
+          t("postings-exchange-sorted-noop") {
+            postings
+              .withColumn("bucket", pmod(xxhash64(col("term")), lit(cfg.nTermBuckets)).cast("int"))
+              .withColumn("shard", pmod(xxhash64(col("chunkId")), lit(8)).cast("int"))
+              .repartition(cfg.shufflePartitions, col("bucket"), col("shard"))
+              .sortWithinPartitions("bucket", "shard", "term", "chunkId")
+              .write.format("noop").mode("overwrite").save()
+          }
+          t("chunks-write") {
+            chunks.withColumn("cbucket",
+              pmod(xxhash64(col("chunkId")), lit(8)).cast("int"))
+              .repartition(cfg.shufflePartitions, col("chunkId"))
+              .write.mode("overwrite").partitionBy("cbucket")
+              .parquet(s"$root/chunks")
+          }
+          t("sigs-write") {
+            chunks.select(col("chunkId"),
+              graft.index.IndexBuilder.sigCol.as("h"),
+              graft.index.IndexBuilder.dedupHashCol.as("dhash"))
+              .write.mode("overwrite").parquet(s"$root/sigs")
+          }
+          chunks.unpersist()
+        }
+        rm(root)
       case other => sys.error(s"unknown subcommand $other")
     }
     spark.stop()

@@ -38,7 +38,6 @@ design value values vsd privacy security fairness bias harms trust governance re
     " is a ", " we define ", " we propose ", " we argue ", " consists of ",
     " stakeholders include ", " method ", " methodology ")
 
-  private val TokenPattern = Pattern.compile("[A-Za-z0-9]+")
   // Python `\w`/`\s` are Unicode-aware by default. Java's (?U)\s follows the
   // Unicode White_Space property, which unlike Python's \s excludes the
   // \x1c-\x1f file/group separators — add them explicitly.
@@ -52,12 +51,33 @@ design value values vsd privacy security fairness bias harms trust governance re
 
   @inline def lower(s: String): String = s.toLowerCase(Locale.ROOT)
 
-  /** index.py:38-40 — `[A-Za-z0-9]+` findall, lowercase, drop STOP. */
+  /** index.py:38-40 — `[A-Za-z0-9]+` findall, lowercase, drop STOP.
+    *
+    * Hand-rolled ASCII scanner instead of the regex matcher: the pattern
+    * only ever matches ASCII alnum runs, and `toLowerCase(Locale.ROOT)` on
+    * such a run is the per-char 'A'..'Z' shift, so the scan is exactly
+    * equivalent (golden-pinned) while skipping two string allocations and
+    * the regex engine per token — this is the hottest kernel of the index
+    * build (static-cols pass + posting pass) and the map-scaling bench.
+    */
   def tokenize(s: String): Array[String] = {
-    val m = TokenPattern.matcher(s)
     val out = new ArrayBuffer[String]()
-    while (m.find()) {
-      val t = lower(m.group())
+    val n = s.length
+    val sb = new java.lang.StringBuilder(24)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+      else if (sb.length > 0) {
+        val t = sb.toString
+        if (!Stop.contains(t)) out += t
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    if (sb.length > 0) {
+      val t = sb.toString
       if (!Stop.contains(t)) out += t
     }
     out.toArray
