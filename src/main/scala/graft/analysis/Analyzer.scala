@@ -102,6 +102,12 @@ design value values vsd privacy security fairness bias harms trust governance re
   def pySplit(s: String): Array[String] =
     WsPattern.split(s).filter(_.nonEmpty)
 
+  /** Matcher over the exact pySplit separator pattern, for callers that
+    * walk word spans in place instead of materializing the split array.
+    */
+  private[analysis] def wsMatcher(s: String): java.util.regex.Matcher =
+    WsPattern.matcher(s)
+
   /** io_pdf.py:115-134 normalize_text. */
   def normalizeText(s0: String): String = {
     var s = s0.replace("\u00ad", "")

@@ -98,13 +98,24 @@ object Scoring {
     out.toSeq
   }
 
+  /** Sum of match lengths without materializing the match strings — the
+    * gibberish scan only needs lengths for three of its four patterns, and
+    * this runs per chunk on the index-build hot path.
+    */
+  private def matchLenSum(p: Pattern, text: String): Long = {
+    val m = p.matcher(text)
+    var sum = 0L
+    while (m.find()) sum += m.end() - m.start()
+    sum
+  }
+
   /** scoring.py:119-194 gibberish_penalty — multiplicative in (0,1]. */
   def gibberishPenalty(text: String, threshold: Double = 0.20): Double = {
     if (text == null || text.length < 20) return 1.0
     var gibberishChars = 0L
     val totalChars = text.length
-    gibberishChars += findAll(LineNumbers, text).map(_.length).sum
-    gibberishChars += findAll(DoiGib, text).map(_.length).sum
+    gibberishChars += matchLenSum(LineNumbers, text)
+    gibberishChars += matchLenSum(DoiGib, text)
     for (pattern <- findAll(Mixed, text)) {
       val skipShortValid = pattern.length <= 3 && !ValidShort.contains(lower(pattern))
       // reference logic: `continue` when (len<=3 AND not in valid set);
@@ -113,12 +124,28 @@ object Scoring {
         gibberishChars += pattern.length
       }
     }
-    gibberishChars += findAll(PunctClusters, text).map(_.length).sum
-    for (word <- Analyzer.pySplit(text)) {
-      if (word.length > 2) {
-        val digits = word.count(_.isDigit)
-        if (digits.toDouble / word.length > 0.5) gibberishChars += word.length
+    gibberishChars += matchLenSum(PunctClusters, text)
+    // Python-split word walk without materializing the word array: spans
+    // between WsPattern separator runs, digit ratio counted in place
+    // (identical digit classifier and span boundaries to pySplit + count).
+    locally {
+      val m = Analyzer.wsMatcher(text)
+      var spanStart = 0
+      def span(end: Int): Unit = if (end - spanStart > 2) {
+        var digits = 0
+        var i = spanStart
+        while (i < end) {
+          if (text.charAt(i).isDigit) digits += 1
+          i += 1
+        }
+        if (digits.toDouble / (end - spanStart) > 0.5)
+          gibberishChars += end - spanStart
       }
+      while (m.find()) {
+        span(m.start())
+        spanStart = m.end()
+      }
+      span(text.length)
     }
     val ratio = if (totalChars > 0) gibberishChars.toDouble / totalChars else 0.0
     if (ratio <= threshold) return 1.0

@@ -334,40 +334,62 @@ object IndexBuilder {
     import spark.implicits._
     val k1 = cfg.k1; val b = cfg.b; val blockSize = cfg.blockSize
     val codec = cfg.postingCodec
-    val withShard = postings(chunksDF.as[ChunkRow])
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(cfg.nTermBuckets)).cast("int"))
-      .withColumn("shard", pmod(xxhash64(col("chunkId")), lit(nShards)).cast("int"))
-      .repartition(cfg.shufflePartitions, col("bucket"), col("shard"))
-      .sortWithinPartitions("bucket", "shard", "term", "chunkId")
-      .select("bucket", "shard", "term", "chunkId", "tf", "dl")
-      .as[(Int, Int, String, Long, Int, Int)]
-    withShard.mapPartitions { rows =>
+    // Shuffle the NARROWEST possible posting row (guide §2.3): bucket and
+    // shard are pure hash functions of term/chunkId, so they ride along as
+    // repartition/sort EXPRESSIONS instead of materialized columns, and
+    // (tf, dl) pack into one long (tf < 2^32 and dl < 2^32 always hold —
+    // ints — so the pack is lossless for ANY chunk size). 6 exchange
+    // fields drop to 3 (~30% fewer sorted/shuffled bytes at posting grain,
+    // the build's one wide exchange). Sorting by
+    // (term, shardExpr, chunkId) preserves exactly the (bucket, shard,
+    // term) group contiguity the streaming assembler needs, because bucket
+    // is a function of term; the consumer re-derives both hashes once per
+    // group boundary via the same seeded xxhash64 (termBucket/chunkBucket).
+    val nTermBuckets = cfg.nTermBuckets
+    val shardExpr = pmod(xxhash64(col("chunkId")), lit(nShards))
+    val packed = postings(chunksDF.as[ChunkRow])
+      .select(col("term"), col("chunkId"),
+        (shiftleft(col("dl").cast("long"), 32) + col("tf")).as("tfdl"))
+      .repartition(cfg.shufflePartitions,
+        pmod(xxhash64(col("term")), lit(nTermBuckets)), shardExpr)
+      .sortWithinPartitions(col("term"), shardExpr, col("chunkId"))
+      .as[(String, Long, Long)]
+    packed.mapPartitions { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val start = System.nanoTime()
       val out = scala.collection.mutable.ArrayBuffer.empty[BlockRow]
-      var curKey: (Int, Int, String) = null
+      var curTerm: String = null
+      var curShard = -1
+      var curBucket = -1
       val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
       val tfs = scala.collection.mutable.ArrayBuffer.empty[Long]
       val dls = scala.collection.mutable.ArrayBuffer.empty[Long]
       val norms = scala.collection.mutable.ArrayBuffer.empty[Double]
       var nRows = 0L
       var nBytes = 0L
-      def flush(): Unit = if (curKey != null && ids.nonEmpty) {
+      def flush(): Unit = if (curTerm != null && ids.nonEmpty) {
         val bs = Codec.buildBlocks(ids.toArray, tfs.toArray, dls.toArray,
           norms.toArray, blockSize, codec)
         bs.zipWithIndex.foreach { case (blk, i) =>
           nBytes += blk.docs.length + blk.tfs.length + blk.dls.length
-          out += BlockRow(curKey._1, curKey._2, curKey._3, i, blk.n, blk.docs,
+          out += BlockRow(curBucket, curShard, curTerm, i, blk.n, blk.docs,
             blk.tfs, blk.dls, blk.maxTfNorm, blk.firstDoc, blk.lastDoc)
         }
         ids.clear(); tfs.clear(); dls.clear(); norms.clear()
       }
-      rows.foreach { case (bucket, shard, term, chunkId, tf, dl) =>
-        val key = (bucket, shard, term)
-        if (key != curKey) { flush(); curKey = key }
+      rows.foreach { case (term, chunkId, tfdl) =>
+        val shard = chunkBucket(chunkId, nShards)
+        if (term != curTerm || shard != curShard) {
+          flush()
+          if (term != curTerm) curBucket = termBucket(term, nTermBuckets)
+          curTerm = term
+          curShard = shard
+        }
+        val tf = tfdl & 0xffffffffL
+        val dl = tfdl >>> 32
         ids += chunkId
-        tfs += tf.toLong
-        dls += dl.toLong
+        tfs += tf
+        dls += dl
         norms += tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
         nRows += 1
       }
