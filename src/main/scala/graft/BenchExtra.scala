@@ -155,6 +155,20 @@ object BenchExtra {
         t("components.minLabel") {
           graft.ops.Components.minLabel(edges, vertices).count()
         }
+      case "bm25probe" =>
+        val qname = if (args.length > 2) args(2) else "q_bm25_topk"
+        val fn = SparkEntry.queries(qname)
+        fn(spark, sfDir).count() // builds views + warms
+        def tq(label: String): Unit = {
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.count()
+          val t2 = System.nanoTime()
+          println(f"[bm25probe] $label: construct ${(t1 - t0) / 1e9}%.3fs " +
+            f"execute ${(t2 - t1) / 1e9}%.3fs")
+        }
+        tq("warm1"); tq("warm2"); tq("warm3")
       case "buildstage" =>
         // attribute the build's stats-agg phase: run its pieces SEQUENTIALLY
         // (the real build overlaps the writes) with per-piece wall times.

@@ -19,10 +19,44 @@ object SparkEntry {
   private val QTerms = Seq("spark", "hash", "join", "scan")
   private def qValuesSql = QTerms.map(t => s"('$t')").mkString(", ")
 
-  private def views(spark: SparkSession, dir: String, names: String*): Unit =
-    names.foreach { n =>
-      spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+  /** Per-session registry of parquet DataFrame handles and temp-view
+    * registrations. `spark.read.parquet` re-reads footers and re-infers
+    * the schema on EVERY call (~100 ms/table), and the catalog fns used to
+    * pay that for every table on every invocation — 0.5 s per TPC-H query
+    * before a single row moved. Re-registering an identical view is pure
+    * metadata churn, so both are memoized per (session, path); every query
+    * still scans the parquet itself (lazy plans — no data or results are
+    * cached). WeakHashMap keyed on the session: stopped sessions drop out.
+    */
+  private val tableReg = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+  private def regFor(spark: SparkSession) = tableReg.synchronized {
+    var m = tableReg.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+      tableReg.put(spark, m)
     }
+    m
+  }
+
+  /** Lazy DataFrame over a parquet path, one schema read per session. */
+  private[graft] def tableFor(spark: SparkSession, path: String): DataFrame =
+    regFor(spark).computeIfAbsent(s"df:$path", _ => spark.read.parquet(path))
+      .asInstanceOf[DataFrame]
+
+  /** Register `name` as a temp view over `path` unless this session
+    * already has exactly that registration.
+    */
+  private[graft] def registerView(spark: SparkSession, name: String, path: String): Unit = {
+    val m = regFor(spark)
+    if (m.get(s"view:$name") != path) {
+      tableFor(spark, path).createOrReplaceTempView(name)
+      m.put(s"view:$name", path)
+    }
+  }
+
+  private[graft] def views(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => registerView(spark, n, s"$dir/$n.parquet"))
 
   /** Tight-loop minhash UDFs (64 perms over pre-hashed shingles); the
     * arithmetic is mirrored verbatim by the DuckDB oracle SQL (same A/B/P
@@ -190,8 +224,12 @@ object SparkEntry {
     * stats over documents) shares one checkpointed set of views per sfDir.
     * Semantics identical to the inline CTEs the DuckDB oracles use.
     */
-  private val bm25Prepared = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-  private def prepareBm25Views(spark: SparkSession, dir: String): Unit = {
+  private val bm25Prepared = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  /** Returns the corpus avgdl (read once per dir off the checkpointed
+    * stats view, embedded as a constant-folded literal by
+    * [[bm25ScoresViewSql]] — saves the per-query scalar-subquery job).
+    */
+  private def prepareBm25Views(spark: SparkSession, dir: String): Double = {
     views(spark, dir, "documents")
     bm25Prepared.computeIfAbsent(dir, _ => {
       val toks = spark.sql(
@@ -203,10 +241,14 @@ object SparkEntry {
       spark.sql("""SELECT count(*) AS n, CAST(sum(size(tk)) AS DOUBLE)/count(*) AS avgdl
                    FROM graft_toks""").localCheckpoint(true)
         .createOrReplaceTempView("graft_stats")
+      // dl denormalized onto the tf view (dl is constant per doc_id, so
+      // grouping by it changes nothing): the per-query scores computation
+      // then needs no lens join — one fewer broadcast join in every timed
+      // BM25-family query (guide §2.4)
       val tf = spark.sql(
-        """SELECT doc_id, term, count(*) AS tf
-           FROM (SELECT doc_id, explode(tk) AS term FROM graft_toks)
-           GROUP BY doc_id, term""").localCheckpoint(true)
+        """SELECT doc_id, term, count(*) AS tf, dl
+           FROM (SELECT doc_id, size(tk) AS dl, explode(tk) AS term FROM graft_toks)
+           GROUP BY doc_id, term, dl""").localCheckpoint(true)
       tf.createOrReplaceTempView("graft_tf")
       spark.sql(
         """WITH df AS (SELECT term, count(*) AS df FROM graft_tf GROUP BY term),
@@ -216,20 +258,24 @@ object SparkEntry {
            SELECT term, df, CASE WHEN idf < 0 THEN (SELECT eps FROM eps) ELSE idf END AS idf
            FROM rawidf""").localCheckpoint(true)
         .createOrReplaceTempView("graft_idf")
-      true
+      spark.sql("SELECT avgdl FROM graft_stats").head().getDouble(0)
     })
-    ()
   }
 
-  private def bm25ScoresViewSql: String =
+  // the VALUES frame only ever FILTERED tf (terms are distinct on both
+  // sides), so it is an IN predicate on the checkpointed view, not a join;
+  // dl rides on graft_tf, and avgdl is embedded as a constant-folded
+  // CAST literal (Double.toString round-trips exactly) — the per-query
+  // plan is one small idf broadcast plus the aggregation, instead of
+  // three broadcast joins and a scalar-subquery job (guide §2.4)
+  private def bm25ScoresViewSql(avgdl: Double): String =
     s"""scores AS (
       SELECT tf.doc_id,
              sum(idf.idf * tf.tf * ($K1 + 1) /
-                 (tf.tf + $K1 * (1 - $B + $B * lens.dl / (SELECT avgdl FROM graft_stats)))) AS score
-      FROM (SELECT * FROM VALUES $qValuesSql AS q(term)) q
-      JOIN graft_tf tf ON tf.term = q.term
-      JOIN graft_idf idf ON idf.term = q.term
-      JOIN graft_lens lens ON lens.doc_id = tf.doc_id
+                 (tf.tf + $K1 * (1 - $B + $B * tf.dl / CAST('$avgdl' AS DOUBLE)))) AS score
+      FROM graft_tf tf
+      JOIN graft_idf idf ON idf.term = tf.term
+      WHERE tf.term IN (${QTerms.map(t => s"'$t'").mkString(",")})
       GROUP BY tf.doc_id)"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -275,9 +321,9 @@ object SparkEntry {
     }),
 
     "q_bm25_topk" -> ((spark: SparkSession, dir: String) => {
-      prepareBm25Views(spark, dir)
+      val avgdl = prepareBm25Views(spark, dir)
       spark.sql(
-        s"""WITH $bm25ScoresViewSql
+        s"""WITH ${bm25ScoresViewSql(avgdl)}
             SELECT doc_id, round(score, 4) AS score FROM scores
             ORDER BY score DESC, doc_id LIMIT 20""")
     }),
@@ -287,9 +333,9 @@ object SparkEntry {
     // ranking, run B = doc-length ranking; each doc has <= 2 contributions
     // so the double sum is order-independent.
     "q_rrf_fusion" -> ((spark: SparkSession, dir: String) => {
-      prepareBm25Views(spark, dir)
+      val avgdl = prepareBm25Views(spark, dir)
       spark.sql(
-        s"""WITH $bm25ScoresViewSql,
+        s"""WITH ${bm25ScoresViewSql(avgdl)},
             ra AS (SELECT doc_id, row_number() OVER
                      (ORDER BY round(score, 4) DESC, doc_id) AS rk FROM scores),
             rb AS (SELECT doc_id, row_number() OVER
@@ -301,9 +347,9 @@ object SparkEntry {
     }),
 
     "q_rm3_terms" -> ((spark: SparkSession, dir: String) => {
-      prepareBm25Views(spark, dir)
+      val avgdl = prepareBm25Views(spark, dir)
       spark.sql(
-        s"""WITH $bm25ScoresViewSql,
+        s"""WITH ${bm25ScoresViewSql(avgdl)},
             top_docs AS (SELECT doc_id FROM scores
                          ORDER BY round(score, 4) DESC, doc_id LIMIT 6),
             fb AS (SELECT term, count(*) AS cnt
@@ -468,10 +514,10 @@ object SparkEntry {
     "q_semantic_mix" -> ((spark: SparkSession, dir: String) => {
       import spark.implicits._
       import org.apache.spark.sql.functions.{col, round => fround, desc, asc}
-      prepareBm25Views(spark, dir)
+      val avgdl = prepareBm25Views(spark, dir)
       views(spark, dir, "embeddings")
       val pool = spark.sql(
-        s"""WITH $bm25ScoresViewSql
+        s"""WITH ${bm25ScoresViewSql(avgdl)}
             SELECT doc_id, round(score, 4) AS score FROM scores
             WHERE doc_id <> 0
             ORDER BY round(score, 4) DESC, doc_id LIMIT 20""")

@@ -14,10 +14,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object SparkEntryTpch {
 
+  // shared per-session view/table registry (see SparkEntry.registerView)
   private def views(spark: SparkSession, dir: String, names: String*): Unit =
-    names.foreach { n =>
-      spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
-    }
+    SparkEntry.views(spark, dir, names: _*)
 
   /** Dialect-shared SQL (identical text runs on Spark and DuckDB). */
   private val PricingSql =
