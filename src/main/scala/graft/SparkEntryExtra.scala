@@ -533,31 +533,52 @@ private[graft] object SparkEntryExtra {
     //     is a narrow map, cells are the partition key and probing prunes
     //     to nprobe partitions.
     "q_ann_ivf" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
       SparkEntry.registerView(spark, "cemb",
         s"$FixturesBase/dims/clustered_embeddings.parquet")
       SparkEntry.registerView(spark, "ivf_cent",
         s"$FixturesBase/dims/ivf_centroids.parquet")
-      registerVecUdfs(spark)
-      spark.sql(
-        """WITH cent AS (SELECT cid, embedding AS ce FROM ivf_cent),
-            sims AS (SELECT e.vec_id, c.cid,
-                 graft_vdot(e.embedding, c.ce) /
-                   (graft_vnorm(e.embedding) * graft_vnorm(c.ce)) AS sim
-               FROM cemb e CROSS JOIN cent c),
-            rk AS (SELECT vec_id, cid,
-                 row_number() OVER (PARTITION BY vec_id
-                                    ORDER BY sim DESC, cid) AS rk
-               FROM sims),
-            asg AS (SELECT vec_id, cid FROM rk WHERE rk = 1),
-            probes AS (SELECT cid FROM rk WHERE vec_id = 0 AND rk <= 2),
-            q AS (SELECT embedding AS qe FROM cemb WHERE vec_id = 0),
-            cand AS (SELECT e.vec_id,
-                 graft_vdot(e.embedding, q.qe) /
-                   (graft_vnorm(e.embedding) * graft_vnorm(q.qe)) AS cos
-               FROM cemb e JOIN asg ON asg.vec_id = e.vec_id CROSS JOIN q
-               WHERE asg.cid IN (SELECT cid FROM probes) AND e.vec_id <> 0)
-            SELECT vec_id, round(cos, 4) AS cos FROM cand
-            ORDER BY cos DESC, vec_id LIMIT 5""")
+      // The codebook is k=16 centroids — collect it and run assignment as
+      // a narrow broadcast map, exactly the documented 10^12-vector shape
+      // ("centroid table broadcasts, assignment is a narrow map"). Round 5
+      // planned the assignment as a vectors x centroids CROSS JOIN under a
+      // row_number window, and the rk CTE was re-expanded for probes —
+      // the whole sims/window subtree executed twice. Per-pair float ops
+      // are unchanged (dot / (norm_e * norm_c), doubles in index order);
+      // nearest = max sim with ties to the LOWER cid, identical to
+      // row_number() ORDER BY sim DESC, cid.
+      val cents = spark.table("ivf_cent")
+        .select(col("cid"), col("embedding"))
+        .as[(Int, Array[Float])].collect().sortBy(_._1)
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+      def simsTo(e: Array[Float]): Array[(Int, Double)] =
+        cents.map { case (cid, ce) => (cid, dot(e, ce) / (nrm(e) * nrm(ce))) }
+      def nearest(e: Array[Float]): Int = {
+        // ascending cid order + strict > keeps the lower cid on sim ties
+        var bestCid = -1
+        var bestSim = Double.NegativeInfinity
+        for ((cid, sim) <- simsTo(e)) if (sim > bestSim) { bestSim = sim; bestCid = cid }
+        bestCid
+      }
+      val qe = spark.sql("SELECT embedding FROM cemb WHERE vec_id = 0")
+        .as[Array[Float]].head()
+      val probes = simsTo(qe).sortBy { case (cid, sim) => (-sim, cid) }
+        .take(2).map(_._1).toSet
+      val asgUdf = udf((e: Array[Float]) => nearest(e))
+      val cosUdf = udf((e: Array[Float]) => dot(e, qe) / (nrm(e) * nrm(qe)))
+      spark.table("cemb")
+        .where(col("vec_id") =!= 0)
+        .withColumn("cid", asgUdf(col("embedding")))
+        .where(col("cid").isin(probes.toSeq: _*))
+        .select(col("vec_id"), round(cosUdf(col("embedding")), 4).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(5)
     }),
 
     // --- biblio enrichment join + DOI TTL split (§2.1/§2.6), against the

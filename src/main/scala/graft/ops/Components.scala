@@ -143,10 +143,12 @@ object Components {
     // refuse to return a wrong labeling
     require(!changed,
       s"component diameter exceeds maxRounds=$maxRounds (pathological graph?)")
-    val singletons = vertices.select(col("id").cast("long"))
+    // one left join instead of round-5's anti-join + union: a vertex with
+    // no propagated label is its own component (identical output under the
+    // documented contract that `vertices` covers every vertex)
+    vertices.select(col("id").cast("long").as("id"))
       .distinct()
-      .join(labels, Seq("id"), "left_anti")
-      .withColumn("lbl", col("id"))
-    labels.unionByName(singletons)
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
 }
