@@ -155,6 +155,72 @@ object BenchExtra {
         t("components.minLabel") {
           graft.ops.Components.minLabel(edges, vertices).count()
         }
+      case "staticprobe" =>
+        // in-JVM micro-profile of the static-cols UDF components over the
+        // bench corpus texts (no Spark in the timed loops)
+        val texts = graft.corpus.WebPages
+          .generate(spark, 4000, 42, 32)
+          .collect().iterator.flatMap { p =>
+            val cleaned = graft.analysis.Analyzer.cleanText(p.text)
+            graft.analysis.Analyzer.chunkText(cleaned, "", "sliding", 600, 80)
+          }.toArray
+        println(s"[staticprobe] ${texts.length} chunks")
+        def t(label: String)(f: String => Unit): Unit = {
+          texts.foreach(f) // warm
+          val t0 = System.nanoTime()
+          texts.foreach(f)
+          println(f"[staticprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.3fs")
+        }
+        t("tokenize")(s => graft.analysis.Analyzer.tokenize(s): Unit)
+        t("patternBonus")(s => graft.analysis.Scoring.patternBonus(s): Unit)
+        t("metadataBonus")(s => graft.analysis.Scoring.metadataBonus(s, None): Unit)
+        t("gibberish")(s => graft.analysis.Scoring.gibberishPenalty(s): Unit)
+        import java.util.regex.Pattern
+        val lineNumbers = Pattern.compile("\\b\\d{3,5}\\b", Pattern.UNICODE_CHARACTER_CLASS)
+        val doiGib = Pattern.compile("doi:\\S+|10\\.\\d{4,}/\\S+", Pattern.UNICODE_CHARACTER_CLASS)
+        val mixed = Pattern.compile("\\b\\d+[a-zA-Z]+\\d*\\b|\\b[a-zA-Z]+\\d+[a-zA-Z]*\\b",
+          Pattern.UNICODE_CHARACTER_CLASS)
+        val punct = Pattern.compile("(?U)[^\\w\\s]{2,}")
+        def scan(p: Pattern)(s: String): Unit = {
+          val m = p.matcher(s)
+          while (m.find()) ()
+        }
+        t("gib.lineNumbers")(scan(lineNumbers))
+        t("gib.doiGib")(scan(doiGib))
+        t("gib.mixed")(scan(mixed))
+        t("gib.punct")(scan(punct))
+        t("gib.pySplitWalk") { s =>
+          val m = graft.analysis.Analyzer.pySplit(s)
+          var i = 0
+          while (i < m.length) { i += 1 }
+        }
+        var nMixAdj = 0
+        var nDigit3 = 0
+        var nDoi = 0
+        texts.foreach { s =>
+          var mix = false
+          var d3 = false
+          var run = 0
+          var i = 0
+          while (i < s.length) {
+            val c = s.charAt(i)
+            val d = Character.isDigit(c)
+            val l = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+            if (d) { run += 1; if (run >= 3) d3 = true } else run = 0
+            if (i > 0) {
+              val p = s.charAt(i - 1)
+              val pd = Character.isDigit(p)
+              val pl = (p >= 'a' && p <= 'z') || (p >= 'A' && p <= 'Z')
+              if ((pd && l) || (pl && d)) mix = true
+            }
+            i += 1
+          }
+          if (mix) nMixAdj += 1
+          if (d3) nDigit3 += 1
+          if (s.contains("doi:") || s.contains("10.")) nDoi += 1
+        }
+        println(s"[staticprobe] prescreen hits of ${texts.length}: " +
+          s"mixAdj=$nMixAdj digit3=$nDigit3 doi=$nDoi")
       case "bm25probe" =>
         val qname = if (args.length > 2) args(2) else "q_bm25_topk"
         val fn = SparkEntry.queries(qname)

@@ -114,21 +114,63 @@ object Scoring {
     if (text == null || text.length < 20) return 1.0
     var gibberishChars = 0L
     val totalChars = text.length
-    gibberishChars += matchLenSum(LineNumbers, text)
-    gibberishChars += matchLenSum(DoiGib, text)
-    for (pattern <- findAll(Mixed, text)) {
-      val skipShortValid = pattern.length <= 3 && !ValidShort.contains(lower(pattern))
-      // reference logic: `continue` when (len<=3 AND not in valid set);
-      // note this *counts* short patterns that ARE in the valid set.
-      if (!skipShortValid && !YearLike.matcher(pattern).matches()) {
-        gibberishChars += pattern.length
+    // One cheap char scan prescreens the three digit-dependent patterns
+    // (~2% of real chunks contain any digit): LineNumbers needs a run of
+    // >= 3 Unicode digits, Mixed needs an ASCII-letter/digit adjacency,
+    // DoiGib needs a "doi:" or "10." literal, and the digit-ratio word
+    // walk needs a digit at all — when the prescreen proves no match is
+    // possible, the regex contributes exactly 0 and is skipped. Skips are
+    // only taken on surrogate-free text (char-level classes equal the
+    // regexes' code-point classes exactly on the BMP; supplementary-plane
+    // digits fall back to the full scan).
+    var hasSurrogate = false
+    var anyDigit = false
+    var digitRun3 = false
+    var mixAdj = false
+    locally {
+      var run = 0
+      var prevD = false
+      var prevL = false
+      var i = 0
+      while (i < totalChars) {
+        val c = text.charAt(i)
+        if (Character.isSurrogate(c)) hasSurrogate = true
+        val d = Character.isDigit(c)
+        val l = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        if (d) {
+          anyDigit = true
+          run += 1
+          if (run >= 3) digitRun3 = true
+        } else run = 0
+        if ((prevD && l) || (prevL && d)) mixAdj = true
+        prevD = d
+        prevL = l
+        i += 1
+      }
+    }
+    val noSkip = hasSurrogate
+    if (noSkip || digitRun3)
+      gibberishChars += matchLenSum(LineNumbers, text)
+    if (noSkip || text.contains("doi:") || text.contains("10."))
+      gibberishChars += matchLenSum(DoiGib, text)
+    if (noSkip || mixAdj) {
+      for (pattern <- findAll(Mixed, text)) {
+        val skipShortValid = pattern.length <= 3 && !ValidShort.contains(lower(pattern))
+        // reference logic: `continue` when (len<=3 AND not in valid set);
+        // note this *counts* short patterns that ARE in the valid set.
+        if (!skipShortValid && !YearLike.matcher(pattern).matches()) {
+          gibberishChars += pattern.length
+        }
       }
     }
     gibberishChars += matchLenSum(PunctClusters, text)
     // Python-split word walk without materializing the word array: spans
     // between WsPattern separator runs, digit ratio counted in place
     // (identical digit classifier and span boundaries to pySplit + count).
-    locally {
+    // Skipped when the text has no digit char at all: the walk counts the
+    // same char-level isDigit, so every ratio would be 0 (no surrogate
+    // caveat — both sides are char-level).
+    if (anyDigit) locally {
       val m = Analyzer.wsMatcher(text)
       var spanStart = 0
       def span(end: Int): Unit = if (end - spanStart > 2) {

@@ -46,6 +46,57 @@ class OptimizedKernelsSpec extends AnyFunSuite {
     assert(fused.nonEmpty, "test corpus must produce bands")
   }
 
+  test("gibberishPenalty prescreen never skips a matchable pattern") {
+    // unconditional mirror of the pre-round-6 implementation
+    import java.util.regex.Pattern
+    val lineNumbers = Pattern.compile("\\b\\d{3,5}\\b", Pattern.UNICODE_CHARACTER_CLASS)
+    val doiGib = Pattern.compile("doi:\\S+|10\\.\\d{4,}/\\S+", Pattern.UNICODE_CHARACTER_CLASS)
+    val mixed = Pattern.compile("\\b\\d+[a-zA-Z]+\\d*\\b|\\b[a-zA-Z]+\\d+[a-zA-Z]*\\b",
+      Pattern.UNICODE_CHARACTER_CLASS)
+    val punct = Pattern.compile("(?U)[^\\w\\s]{2,}")
+    val yearLike = Pattern.compile("^[12]\\d{3}$")
+    val validShort = Set("p", "pp", "ch", "vol", "no", "ed", "v", "n")
+    def reference(text: String, threshold: Double): Double = {
+      if (text == null || text.length < 20) return 1.0
+      var g = 0L
+      def lenSum(p: Pattern): Long = {
+        val m = p.matcher(text)
+        var s = 0L
+        while (m.find()) s += m.end() - m.start()
+        s
+      }
+      g += lenSum(lineNumbers) + lenSum(doiGib)
+      val mm = mixed.matcher(text)
+      while (mm.find()) {
+        val pat = mm.group()
+        val skip = pat.length <= 3 && !validShort.contains(pat.toLowerCase(java.util.Locale.ROOT))
+        if (!skip && !yearLike.matcher(pat).matches()) g += pat.length
+      }
+      g += lenSum(punct)
+      for (w <- graft.analysis.Analyzer.pySplit(text) if w.length > 2) {
+        val d = w.count(_.isDigit)
+        if (d.toDouble / w.length > 0.5) g += w.length
+      }
+      val ratio = if (text.nonEmpty) g.toDouble / text.length else 0.0
+      if (ratio <= threshold) 1.0
+      else {
+        val range = 0.50 - threshold
+        math.max(0.0, 1.0 - math.min(ratio - threshold, range) / range)
+      }
+    }
+    val rng = new scala.util.Random(13)
+    val frags = Seq("word", "1234", "ab12", "12ab", "doi:10.1/x", "10.5555/j",
+      "2021", "p3", "x", "!!", "a1b2c3", "987", "١٢٣", // Arabic digits
+      "𝟎𝟏𝟐", // supplementary math digits
+      "mixed7text", "plain words here", "§§", "e.g.")
+    for (trial <- 0 until 300) {
+      val s = Seq.fill(3 + rng.nextInt(12))(frags(rng.nextInt(frags.length)))
+        .mkString(" ")
+      assert(graft.analysis.Scoring.gibberishPenalty(s, 0.20) == reference(s, 0.20),
+        s"trial=$trial text=$s")
+    }
+  }
+
   test("graft_vdot/vnorm/lshbucket == round-5 HOF lambda expressions") {
     import spark.implicits._
     SparkEntryExtra.registerVecUdfs(spark)
