@@ -66,37 +66,47 @@ private[graft] object SparkEntryExtra {
     * asNondeterministic keeps Catalyst from duplicating the calls across
     * projections/filters (the q_embed_neardup lesson).
     */
-  private[graft] def registerVecUdfs(spark: SparkSession): Unit = {
-    spark.udf.register("graft_vdot", udf((a: Array[Float], b: Array[Float]) => {
+  private[graft] def vdot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private[graft] def vnorm(a: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
+  private[graft] def lshBucketOf(a: Array[Float], nPlanes: Int): Int = {
+    var bucket = 0
+    var i = 0
+    while (i < nPlanes) {
       var acc = 0.0
-      var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
-    }).asNondeterministic())
-    spark.udf.register("graft_vnorm", udf((a: Array[Float]) => {
-      var acc = 0.0
-      var i = 0
-      while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
-      math.sqrt(acc)
-    }).asNondeterministic())
-    spark.udf.register("graft_lshbucket", udf((a: Array[Float], nPlanes: Int) => {
-      var bucket = 0
-      var i = 0
-      while (i < nPlanes) {
-        var acc = 0.0
-        var j = 0
-        while (j < 64) {
-          val s =
-            if (((i * 131 + j).toLong * 2654435761L) % 4294967296L >= 2147483648L) 1.0
-            else -1.0
-          acc += a(j).toDouble * s
-          j += 1
-        }
-        if (acc >= 0) bucket |= 1 << i
-        i += 1
+      var j = 0
+      while (j < 64) {
+        val s =
+          if (((i * 131 + j).toLong * 2654435761L) % 4294967296L >= 2147483648L) 1.0
+          else -1.0
+        acc += a(j).toDouble * s
+        j += 1
       }
-      bucket
-    }).asNondeterministic())
+      if (acc >= 0) bucket |= 1 << i
+      i += 1
+    }
+    bucket
+  }
+
+  private[graft] def registerVecUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("graft_vdot",
+      udf((a: Array[Float], b: Array[Float]) => vdot(a, b)).asNondeterministic())
+    spark.udf.register("graft_vnorm",
+      udf((a: Array[Float]) => vnorm(a)).asNondeterministic())
+    spark.udf.register("graft_lshbucket",
+      udf((a: Array[Float], nPlanes: Int) => lshBucketOf(a, nPlanes))
+        .asNondeterministic())
   }
 
   private def dotDuck(a: String, b: String): String =
@@ -450,19 +460,28 @@ private[graft] object SparkEntryExtra {
     //     bit-identical float-op order to the former interpreted HOF
     //     lambdas — guide §1.2 step 2); the DuckDB oracle keeps its
     //     list-lambda SQL. ---
+    // The 1-row query vector is collected once (bounded) and its bucket /
+    // norm computed driver-side with the SAME kernels, so the query is a
+    // single pass over the vectors (bucket filter + cosine + TakeOrdered)
+    // instead of a second scan, a cross join and a broadcast build. Per-
+    // pair arithmetic unchanged: dot / (norm_s * norm_q) with the same
+    // index-order double sums (norm_q is a deterministic value whether
+    // computed per row or once).
     "q_ann_lsh" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
       views(spark, dir, "embeddings")
-      registerVecUdfs(spark)
-      spark.sql(
-        """WITH sig AS (SELECT vec_id, embedding, graft_lshbucket(embedding, 16) AS bucket
-               FROM embeddings),
-          q AS (SELECT bucket, embedding AS qe FROM sig WHERE vec_id = 0),
-          cand AS (SELECT s.vec_id,
-                 graft_vdot(s.embedding, q.qe) /
-                   (graft_vnorm(s.embedding) * graft_vnorm(q.qe)) AS cos
-               FROM sig s CROSS JOIN q WHERE s.bucket = q.bucket AND s.vec_id <> 0)
-          SELECT vec_id, round(cos, 4) AS cos FROM cand
-          ORDER BY cos DESC, vec_id LIMIT 5""")
+      val qe = spark.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head()
+      val qb = lshBucketOf(qe, 16)
+      val qn = vnorm(qe)
+      val bucketU = udf((a: Array[Float]) => lshBucketOf(a, 16))
+      val cosU = udf((a: Array[Float]) => vdot(a, qe) / (vnorm(a) * qn))
+      spark.table("embeddings")
+        .where(col("vec_id") =!= 0)
+        .where(bucketU(col("embedding")) === qb)
+        .select(col("vec_id"), round(cosU(col("embedding")), 4).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(5)
     }),
 
     // multi-probe variant: 8-plane buckets, probing the query bucket plus
@@ -472,22 +491,24 @@ private[graft] object SparkEntryExtra {
     // match theirs: bucket count must track corpus size or buckets are
     // singletons and probing is moot. Spark `^` is bitwise xor; DuckDB
     // spells it xor() (its ^ is power), hence per-dialect probe lists.
+    // same driver-side query-vector shape as q_ann_lsh, with the probe set
+    // (self + Hamming-1/2 neighbors of the 8-plane bucket) expanded once
     "q_ann_multiprobe" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
       views(spark, dir, "embeddings")
-      registerVecUdfs(spark)
-      spark.sql(
-        s"""WITH sig AS (SELECT vec_id, embedding, graft_lshbucket(embedding, 8) AS bucket
-               FROM embeddings),
-          q AS (SELECT bucket, embedding AS qe FROM sig WHERE vec_id = 0),
-          cand AS (SELECT s.vec_id,
-                 graft_vdot(s.embedding, q.qe) /
-                   (graft_vnorm(s.embedding) * graft_vnorm(q.qe)) AS cos
-               FROM sig s CROSS JOIN q
-               WHERE s.vec_id <> 0 AND s.bucket IN
-                 (${ProbeMasks.map(m => if (m == 0) "q.bucket" else s"q.bucket ^ $m")
-                    .mkString(", ")}))
-          SELECT vec_id, round(cos, 4) AS cos FROM cand
-          ORDER BY cos DESC, vec_id LIMIT 5""")
+      val qe = spark.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head()
+      val qb = lshBucketOf(qe, 8)
+      val qn = vnorm(qe)
+      val probes = ProbeMasks.map(qb ^ _)
+      val bucketU = udf((a: Array[Float]) => lshBucketOf(a, 8))
+      val cosU = udf((a: Array[Float]) => vdot(a, qe) / (vnorm(a) * qn))
+      spark.table("embeddings")
+        .where(col("vec_id") =!= 0)
+        .where(bucketU(col("embedding")).isin(probes: _*))
+        .select(col("vec_id"), round(cosU(col("embedding")), 4).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(5)
     }),
 
     // --- ANN recall, not just mechanics: recall@5 of the 8-plane
